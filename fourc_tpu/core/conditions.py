@@ -1,0 +1,143 @@
+"""Boundary-condition containers + Dirichlet machinery.
+
+Counterpart of the reference's ``Core::Conditions::Condition`` +
+``Core::FE::Dbc`` (ref: src/core/fem/src/condition/4C_fem_condition.hpp,
+4C_fem_discretization_utils.hpp:128) and its Neumann evaluation.  A
+condition references a named node/face set of the Discretization and
+carries per-component ONOFF/VAL/FUNCT exactly like the reference's input
+(ref: deck sections "DESIGN SURF DIRICH CONDITIONS" etc.).
+
+Dirichlet values are evaluated **inside jit** as u_D(t) so time-dependent
+BCs cost nothing extra; the free/fixed split is a static boolean mask
+compiled into the step (the TPU analog of `apply_dirichlet_to_system`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from fourc_tpu.core.functions import FunctionManager
+
+
+@dataclass
+class DirichletBC:
+    nodes: np.ndarray  # node ids
+    onoff: list  # per dof component: 1 = constrained
+    val: list  # amplitude per component
+    funct: list | None = None  # function id per component (None/0 = const 1)
+
+    def __post_init__(self):
+        self.nodes = np.asarray(self.nodes, dtype=np.int32)
+        if self.funct is None:
+            self.funct = [0] * len(self.onoff)
+
+
+@dataclass
+class NeumannBC:
+    """Surface/line load. kind: 'traction' (fixed direction, per-component
+    VAL*FUNCT) | 'pressure' (follower normal pressure, uses component 0)."""
+
+    faces: object  # list[FaceBlock]
+    onoff: list
+    val: list
+    funct: list | None = None
+    kind: str = "traction"
+
+    def __post_init__(self):
+        if self.funct is None:
+            self.funct = [0] * len(self.onoff)
+
+
+@dataclass
+class PointNeumannBC:
+    nodes: np.ndarray
+    onoff: list
+    val: list
+    funct: list | None = None
+
+    def __post_init__(self):
+        self.nodes = np.asarray(self.nodes, dtype=np.int32)
+        if self.funct is None:
+            self.funct = [0] * len(self.onoff)
+
+
+@dataclass
+class BodyForce:
+    """Volume load per unit reference volume (VAL*FUNCT per component)."""
+
+    val: list
+    funct: list | None = None
+
+    def __post_init__(self):
+        if self.funct is None:
+            self.funct = [0] * len(self.val)
+
+
+class DirichletHandler:
+    """Compiles a list of DirichletBCs into (free_mask, u_D(t)).
+
+    Later conditions override earlier ones on shared nodes, matching the
+    reference's hierarchy (point > line > surf > vol) when the deck reader
+    appends them in that order.
+    """
+
+    def __init__(self, conds: list[DirichletBC], coords: np.ndarray, ndpn: int,
+                 functions: FunctionManager):
+        n_nodes = coords.shape[0]
+        self.ndpn = ndpn
+        fixed = np.zeros((n_nodes, ndpn), dtype=bool)
+        # per constrained (node, comp): amplitude + function id
+        amp = np.zeros((n_nodes, ndpn))
+        fid = np.zeros((n_nodes, ndpn), dtype=np.int64)
+        for c in conds:
+            for k in range(min(ndpn, len(c.onoff))):
+                if c.onoff[k]:
+                    fixed[c.nodes, k] = True
+                    amp[c.nodes, k] = c.val[k]
+                    fid[c.nodes, k] = c.funct[k] or 0
+        self.free_mask = jnp.asarray(~fixed.reshape(-1))
+        self._fixed = fixed
+        self._amp = amp
+        self._fid = fid
+        self._coords = coords
+        self._functions = functions
+        # group constrained dofs by function id so u_D(t) evaluates each
+        # symbolic function once over its node batch
+        self._groups = []
+        for f in np.unique(fid[fixed]):
+            sel = fixed & (fid == f)
+            nodes, comps = np.nonzero(sel)
+            self._groups.append(
+                (
+                    int(f),
+                    jnp.asarray((nodes * ndpn + comps).astype(np.int32)),
+                    jnp.asarray(coords[nodes]),
+                    jnp.asarray(amp[nodes, comps]),
+                    jnp.asarray(comps.astype(np.int32)),
+                )
+            )
+
+    def values(self, t):
+        """Prescribed-value vector u_D(t), zero on free dofs (jit-safe)."""
+        n = self.free_mask.shape[0]
+        out = jnp.zeros((n,))
+        for f, dofs, xyz, amp, comps in self._groups:
+            fn = self._functions.get(f)
+            if len(fn.components) == 1:
+                vals = amp * fn(xyz, t, component=0)
+            else:
+                allc = fn(xyz, t)  # (n, ncomp)
+                vals = amp * jnp.take_along_axis(allc, comps[:, None], axis=1)[:, 0]
+            out = out.at[dofs].set(vals)
+        return out
+
+    def apply(self, u, t):
+        """Overwrite constrained dofs with prescribed values."""
+        return jnp.where(self.free_mask, u, self.values(t))
+
+    def mask(self, r):
+        """Zero constrained entries (residual projection)."""
+        return jnp.where(self.free_mask, r, 0.0)

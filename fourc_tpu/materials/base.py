@@ -1,0 +1,113 @@
+"""Material base classes + registry."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MATERIAL_REGISTRY: dict[str, type] = {}
+
+
+def register_material(name):
+    def deco(cls):
+        MATERIAL_REGISTRY[name.lower()] = cls
+        cls.deck_name = name.lower()
+        return cls
+
+    return deco
+
+
+def make_material(spec: dict):
+    """Create a material from a deck spec: {"type": name, **params}.
+
+    Analog of Mat::factory dispatch on input material id
+    (ref: 4C_mat_material_factory.cpp:188).
+    """
+    spec = {k.lower(): v for k, v in spec.items()}
+    typ = spec.pop("type").lower()
+    try:
+        cls = MATERIAL_REGISTRY[typ]
+    except KeyError:
+        raise KeyError(
+            f"unknown material type {typ!r}; known: {sorted(MATERIAL_REGISTRY)}"
+        ) from None
+    return cls.from_deck(spec)
+
+
+class Material:
+    """Base for all materials. Parameters are plain python floats, so they
+    are folded into the jitted kernels as compile-time constants."""
+
+    history_shape: tuple = ()  # per-GP internal-variable state, () = none
+
+    @classmethod
+    def from_deck(cls, params: dict):
+        return cls(**params)
+
+    def init_history(self, ngp_total: int):
+        import numpy as np
+
+        if not self.history_shape:
+            return None
+        return jnp.zeros((ngp_total,) + tuple(self.history_shape))
+
+
+class HyperelasticMaterial(Material):
+    """Finite-strain material defined by a strain-energy density psi(C).
+
+    Subclasses implement ``psi(C)`` (right Cauchy-Green (3,3) -> scalar).
+    PK2 stress defaults to 2*dpsi/dC via AD (ref interface:
+    4C_mat_so3_material.hpp:45 evaluate(defgrd, glstrain) -> stress, cmat;
+    here cmat is implicit in jvp through pk2).
+    """
+
+    kind = "solid"
+
+    def psi(self, C):
+        raise NotImplementedError
+
+    def pk2(self, C):
+        return 2.0 * jax.grad(self.psi)(C)
+
+    def cauchy(self, F):
+        """Cauchy stress from deformation gradient (for output)."""
+        C = F.T @ F
+        S = self.pk2(C)
+        J = jnp.linalg.det(F)
+        return (F @ S @ F.T) / J
+
+    # KINEM linear path: evaluate the same law at C = I + 2 eps (exact for
+    # SVK; consistent small-strain limit otherwise) — mirrors the
+    # reference's use of So3Material for both kinematics.
+    def stress_small(self, eps):
+        return self.pk2(2.0 * eps + jnp.eye(3))
+
+    def psi_small(self, eps):
+        return self.psi(2.0 * eps + jnp.eye(3))
+
+
+class SmallStrainMaterial(Material):
+    """Small-strain material: sigma(eps), eps = sym grad u."""
+
+    kind = "solid_small"
+
+    def psi_small(self, eps):
+        raise NotImplementedError
+
+    def stress_small(self, eps):
+        return jax.grad(self.psi_small)(eps)
+
+
+class HistoryMaterial(Material):
+    """Finite/small-strain material with per-GP internal variables.
+
+    ``evaluate(C_or_eps, h) -> (stress, h_new)``; the time integrator
+    threads the history pytree through the step (the analog of the
+    reference's element history pack/unpack,
+    ref: solid_3D_ele/4C_solid_3D_ele_calc.cpp:100-108).
+    """
+
+    kind = "solid_history"
+
+    def evaluate(self, C, h):
+        raise NotImplementedError

@@ -1,0 +1,90 @@
+"""Basic hyperelastic materials (SVK, Neo-Hooke).
+
+ref: src/mat/4C_mat_stvenantkirchhoff.cpp:151,169 (SVK stress/tangent) and
+the CoupNeoHooke summand (src/mat/elast/4C_matelast_coupneohooke.cpp).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from fourc_tpu.materials.base import HyperelasticMaterial, register_material
+
+_I3 = jnp.eye(3)
+
+
+def lame(youngs: float, nue: float):
+    lam = youngs * nue / ((1 + nue) * (1 - 2 * nue))
+    mu = youngs / (2 * (1 + nue))
+    return lam, mu
+
+
+@register_material("stvenantkirchhoff")
+@dataclass
+class StVenantKirchhoff(HyperelasticMaterial):
+    """S = lambda tr(E) I + 2 mu E (hand-coded, no AD needed)."""
+
+    youngs: float
+    nue: float
+    density: float = 0.0
+
+    def psi(self, C):
+        lam, mu = lame(self.youngs, self.nue)
+        E = 0.5 * (C - _I3)
+        trE = jnp.trace(E)
+        return 0.5 * lam * trE**2 + mu * jnp.sum(E * E)
+
+    def pk2(self, C):
+        lam, mu = lame(self.youngs, self.nue)
+        E = 0.5 * (C - _I3)
+        return lam * jnp.trace(E) * _I3 + 2.0 * mu * E
+
+
+@register_material("neohooke")
+@dataclass
+class NeoHooke(HyperelasticMaterial):
+    """Compressible Neo-Hooke:
+    psi = mu/2 (I1 - 3) - mu ln J + lambda/2 (ln J)^2
+    (the classic form; matches the reference's ElastHyper with CoupNeoHooke
+    + volumetric ln-J penalty composition).
+    """
+
+    youngs: float
+    nue: float
+    density: float = 0.0
+
+    def psi(self, C):
+        lam, mu = lame(self.youngs, self.nue)
+        I1 = jnp.trace(C)
+        J2 = jnp.linalg.det(C)  # = J^2
+        lnJ = 0.5 * jnp.log(J2)
+        return 0.5 * mu * (I1 - 3.0) - mu * lnJ + 0.5 * lam * lnJ**2
+
+    def pk2(self, C):
+        # hand-coded for speed: S = mu (I - C^-1) + lambda lnJ C^-1
+        lam, mu = lame(self.youngs, self.nue)
+        Cinv = jnp.linalg.inv(C)
+        lnJ = 0.5 * jnp.log(jnp.linalg.det(C))
+        return mu * (_I3 - Cinv) + lam * lnJ * Cinv
+
+
+@register_material("mooneyrivlin")
+@dataclass
+class MooneyRivlin(HyperelasticMaterial):
+    """Compressible Mooney-Rivlin: c1 (I1b-3) + c2 (I2b-3) + kappa/2 (J-1)^2."""
+
+    c1: float
+    c2: float
+    kappa: float
+    density: float = 0.0
+
+    def psi(self, C):
+        J2 = jnp.linalg.det(C)
+        J = jnp.sqrt(J2)
+        I1 = jnp.trace(C)
+        I2 = 0.5 * (I1**2 - jnp.trace(C @ C))
+        I1b = I1 * J2 ** (-1.0 / 3.0)
+        I2b = I2 * J2 ** (-2.0 / 3.0)
+        return self.c1 * (I1b - 3.0) + self.c2 * (I2b - 3.0) + 0.5 * self.kappa * (J - 1.0) ** 2

@@ -1,0 +1,71 @@
+"""Thermal materials.
+
+ref: src/mat fourier (isotropic conduction) and thermostvenantkirchhoff
+(thermo-mechanical coupling via thermal-expansion eigenstrain).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from fourc_tpu.materials.base import HyperelasticMaterial, Material, register_material
+
+_I3 = jnp.eye(3)
+
+
+@register_material("fourier")
+@dataclass
+class FourierIso(Material):
+    """Isotropic heat conduction: q = -k grad T; c_p rho dT/dt."""
+
+    kind = "thermo"
+    conductivity: float
+    capacity: float = 1.0
+    density: float = 1.0
+
+    def flux(self, gradT):
+        return -self.conductivity * gradT
+
+
+@register_material("thermostvenantkirchhoff")
+@dataclass
+class ThermoStVenantKirchhoff(HyperelasticMaterial):
+    """SVK + thermal eigenstrain: S = C : (E - alpha (T - T0) I).
+
+    ref: src/mat/4C_mat_thermostvenantkirchhoff.*; also provides the
+    thermo side (conductivity/capacity) for TSI.
+    """
+
+    kind = "thermo_solid"
+    youngs: float
+    nue: float
+    thexpans: float  # thermal expansion coefficient alpha
+    inittemp: float = 0.0
+    conductivity: float = 0.0
+    capacity: float = 0.0
+    density: float = 0.0
+
+    def _lame(self):
+        lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
+        mu = self.youngs / (2 * (1 + self.nue))
+        return lam, mu
+
+    def pk2(self, C, T=None):
+        lam, mu = self._lame()
+        E = 0.5 * (C - _I3)
+        S = lam * jnp.trace(E) * _I3 + 2.0 * mu * E
+        if T is not None:
+            # thermal stress: -(3 lam + 2 mu) alpha (T - T0) I
+            S = S - (3.0 * lam + 2.0 * mu) * self.thexpans * (T - self.inittemp) * _I3
+        return S
+
+    def psi(self, C):
+        lam, mu = self._lame()
+        E = 0.5 * (C - _I3)
+        trE = jnp.trace(E)
+        return 0.5 * lam * trE**2 + mu * jnp.sum(E * E)
+
+    def flux(self, gradT):
+        return -self.conductivity * gradT

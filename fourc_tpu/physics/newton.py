@@ -1,0 +1,149 @@
+"""Matrix-free Newton-Krylov nonlinear solver.
+
+Counterpart of the reference's NOX-driven full Newton
+(ref: src/structure_new/src/nonlinear_solver/4C_structure_new_nln_solver_nox.cpp:188
+delegating to NOX line-search Newton; status tests in src/solver_nonlin_nox).
+Differences by design:
+
+- The Jacobian is never assembled: the Krylov operator is ``jax.jvp``
+  through the residual — the exact consistent tangent (material + geometric
+  + follower-load parts) at the cost of ~2 residual evaluations per matvec.
+- The entire Newton loop is one ``lax.while_loop`` under jit: convergence
+  tests, the inner Krylov while_loop, and the line search all run on device.
+  The reference pays host/MPI synchronisation per dot product; here a norm
+  is a plain on-device reduction (a psum over ICI when sharded).
+- Inexact-Newton forcing (Eisenstat-Walker style) keeps early Krylov solves
+  loose, like the reference's adaptive solver tolerance (ADAPTCONV).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from fourc_tpu.linalg import solvers
+
+
+@dataclass
+class NewtonParams:
+    max_iter: int = 20
+    tol_res: float = 1e-8  # absolute residual norm (2-norm), ref NORM_RESF
+    tol_disp: float = 1e-8  # absolute increment norm, ref NORM_DISP
+    combine: str = "and"  # ref NORMCOMBI_RESFDISP
+    lin_method: str = "cg"
+    lin_maxiter: int = 500
+    lin_rtol: float = 1e-4  # floor for the adaptive forcing term
+    lin_adaptive: bool = True
+    gmres_restart: int = 50
+    line_search: bool = False
+    ls_max_halvings: int = 4
+
+
+def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
+                 matvec_fn=None):
+    """Solve residual_fn(u) = 0 on the free dofs.
+
+    residual_fn: u -> r (full-length; constrained entries ignored)
+    free_mask:   (ndof,) bool; constrained dofs of u0 must already carry
+                 their prescribed values (Dirichlet applied by the caller).
+    precond:     r -> z approximate inverse (must be mask-safe)
+    matvec_fn:   optional custom J·v (defaults to jvp of residual_fn)
+
+    Returns (u, stats dict with iters/resnorm/converged/lin_iters).
+    """
+    mask = free_mask
+
+    def masked_res(u):
+        return jnp.where(mask, residual_fn(u), 0.0)
+
+    def make_op(u):
+        if matvec_fn is not None:
+            def A(v):
+                vm = jnp.where(mask, v, 0.0)
+                return jnp.where(mask, matvec_fn(u, vm), v)
+            return A
+
+        def A(v):
+            vm = jnp.where(mask, v, 0.0)
+            _, jv = jax.jvp(residual_fn, (u,), (vm,))
+            return jnp.where(mask, jv, v)
+
+        return A
+
+    r0 = masked_res(u0)
+    rnorm0 = jnp.linalg.norm(r0)
+
+    def cond(state):
+        u, r, rnorm, dnorm, k, lin_tot, ok = state
+        unconv = jnp.logical_not(_converged(rnorm, dnorm, params))
+        return jnp.logical_and(k < params.max_iter, unconv)
+
+    def body(state):
+        u, r, rnorm, dnorm, k, lin_tot, ok = state
+        A = make_op(u)
+        if params.lin_adaptive:
+            eta = jnp.clip(jnp.sqrt(rnorm / jnp.maximum(rnorm0, 1e-300)), params.lin_rtol, 1e-1)
+        else:
+            eta = jnp.asarray(params.lin_rtol)
+        if params.lin_method == "cg":
+            res = solvers.cg(A, -r, M=precond, tol=eta, atol=0.1 * params.tol_res,
+                             maxiter=params.lin_maxiter)
+        elif params.lin_method == "gmres":
+            res = solvers.gmres(A, -r, M=precond, tol=eta, atol=0.1 * params.tol_res,
+                                restart=params.gmres_restart, maxiter=params.lin_maxiter)
+        else:
+            res = solvers.bicgstab(A, -r, M=precond, tol=eta, atol=0.1 * params.tol_res,
+                                   maxiter=params.lin_maxiter)
+        du = jnp.where(mask, res.x, 0.0)
+
+        if params.line_search:
+            # backtracking on ||r||: try 1, 1/2, 1/4 ... (static unroll)
+            def try_alpha(carry, _):
+                best_u, best_rn, alpha, found = carry
+                u_try = u + alpha * du
+                rn_try = jnp.linalg.norm(masked_res(u_try))
+                better = jnp.logical_and(jnp.logical_not(found), rn_try < rnorm)
+                best_u = jnp.where(better, u_try, best_u)
+                best_rn = jnp.where(better, rn_try, best_rn)
+                found = jnp.logical_or(found, better)
+                return (best_u, best_rn, alpha * 0.5, found), None
+
+            (u_new, _, _, found), _ = jax.lax.scan(
+                try_alpha, (u + du, jnp.inf, jnp.asarray(1.0), jnp.asarray(False)),
+                None, length=params.ls_max_halvings + 1,
+            )
+            u_new = jnp.where(found, u_new, u + du)
+        else:
+            u_new = u + du
+
+        r_new = masked_res(u_new)
+        return (
+            u_new,
+            r_new,
+            jnp.linalg.norm(r_new),
+            jnp.linalg.norm(du),
+            k + 1,
+            lin_tot + res.iters,
+            ok,
+        )
+
+    init = (u0, r0, rnorm0, jnp.asarray(jnp.inf, u0.dtype), 0, 0, jnp.asarray(True))
+    u, r, rnorm, dnorm, k, lin_tot, _ = jax.lax.while_loop(cond, body, init)
+    stats = {
+        "iters": k,
+        "resnorm": rnorm,
+        "dispnorm": dnorm,
+        "lin_iters": lin_tot,
+        "converged": _converged(rnorm, dnorm, params),
+    }
+    return u, stats
+
+
+def _converged(rnorm, dnorm, params: NewtonParams):
+    cr = rnorm <= params.tol_res
+    cd = dnorm <= params.tol_disp
+    if params.combine == "and":
+        return jnp.logical_and(cr, cd)
+    return jnp.logical_or(cr, cd)

@@ -1,0 +1,514 @@
+"""Structural mechanics field: time integration + nonlinear solve.
+
+Counterpart of the reference's structure_new module
+(ref: src/structure_new/src/4C_structure_new_timint_base.hpp — TimeInt
+Implicit/Explicit; implicit integrators Statics / OneStepTheta / GenAlpha in
+src/structure_new/src/impl/; explicit central difference in explicit/;
+`perform_error_action` divergence handling in
+4C_structure_new_timint_implicit.cpp:230-350).
+
+A SolidField owns the discretization + materials + BCs and provides pure
+residual/force functions; integrators are builders returning ONE jitted
+``step(state) -> (state, stats)`` containing the full Newton-Krylov loop.
+The host time loop (physics/driver.py) only dispatches steps, checks the
+returned convergence flag (DIVERCONT) and triggers output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourc_tpu.core.conditions import DirichletHandler
+from fourc_tpu.core.functions import FunctionManager
+from fourc_tpu.core.mesh import Discretization
+from fourc_tpu.linalg import precond as pc
+from fourc_tpu.ops import common as gm
+from fourc_tpu.ops import solid as ops
+from fourc_tpu.physics.newton import NewtonParams, newton_solve
+
+
+@dataclass
+class GenAlphaParams:
+    """ref: Inpar GENALPHA sub-group (4C_inpar_structure.cpp); defaults from
+    rho_inf like the reference's RHO_INF-based parametrisation."""
+
+    rho_inf: float = 1.0
+
+    @property
+    def alpha_m(self):
+        return (2.0 * self.rho_inf - 1.0) / (self.rho_inf + 1.0)
+
+    @property
+    def alpha_f(self):
+        return self.rho_inf / (self.rho_inf + 1.0)
+
+    @property
+    def beta(self):
+        return 0.25 * (1.0 - self.alpha_m + self.alpha_f) ** 2
+
+    @property
+    def gamma(self):
+        return 0.5 - self.alpha_m + self.alpha_f
+
+
+@dataclass
+class SolidParams:
+    kinem: str = "nonlinear"  # ref: KINEM flag on SOLID elements
+    dyntype: str = "statics"  # ref: DYNAMICTYPE (statics/onesteptheta/genalpha/explicit)
+    dt: float = 1.0
+    n_steps: int = 1
+    theta: float = 0.5  # one-step-theta
+    genalpha: GenAlphaParams = field(default_factory=GenAlphaParams)
+    newton: NewtonParams = field(default_factory=NewtonParams)
+    precond: str = "block_jacobi"  # none|jacobi|block_jacobi|chebyshev|gmg
+    mass: str = "consistent"  # consistent|lumped  (ref LUMPMASS)
+    rayleigh_alpha: float = 0.0  # ref M_DAMP
+    rayleigh_beta: float = 0.0  # ref K_DAMP
+    divercont: str = "stop"  # ref DIVERCONT: stop|halve_step|adapt_step
+    max_halvings: int = 5
+    predictor: str = "constdis"  # ref PREDICT: constdis|constvelacc|tangdis
+    dtype: str = "float64"
+
+
+class SolidField:
+    """Discretization + materials + BCs -> pure force functions.
+
+    materials: {mat_id(int): Material}; each element block must be
+    homogeneous in material (deck reader splits blocks by mat id).
+    """
+
+    def __init__(
+        self,
+        disc: Discretization,
+        materials: dict,
+        params: SolidParams,
+        dirichlet=(),
+        neumann=(),
+        point_neumann=(),
+        body_forces=(),
+        functions: FunctionManager | None = None,
+    ):
+        self.disc = disc
+        self.params = params
+        self.functions = functions or FunctionManager()
+        self.ndpn = disc.dim
+        self.dofmap = disc.dofmap(self.ndpn)
+        self.ndof = self.dofmap.ndof
+        self.dbc = DirichletHandler(list(dirichlet), disc.coords, self.ndpn, self.functions)
+        self.neumann = list(neumann)
+        self.point_neumann = list(point_neumann)
+        self.body_forces = list(body_forces)
+
+        self.coords = jnp.asarray(disc.coords)
+        self.block_mat = {}
+        self.block_X = {}
+        for key, blk in disc.blocks.items():
+            mid = int(np.asarray(blk.mat_id)[0])
+            if not np.all(np.asarray(blk.mat_id) == mid):
+                raise ValueError(
+                    f"block {key} mixes materials; split blocks by material id"
+                )
+            self.block_mat[key] = materials[mid]
+            self.block_X[key] = self.coords[self.dofmap.blocks[key].conn]
+
+        # Neumann faces: pre-gather face coords + per-face metadata
+        self._neumann_data = []
+        for nb in self.neumann:
+            for fb in nb.faces:
+                from fourc_tpu.core.cells import get_cell
+
+                fc = get_cell(fb.cell)
+                conn = jnp.asarray(fb.conn)
+                Xf = self.coords[conn]
+                self._neumann_data.append((nb, fc, conn, Xf))
+
+        self._density = {
+            key: float(getattr(m, "density", 0.0) or 0.0) for key, m in self.block_mat.items()
+        }
+
+    # -- forces -------------------------------------------------------------
+
+    def internal_force(self, u, history=None, dt=None, temps=None):
+        """Global internal force f_int(u); returns (vector, new_history)."""
+        dm = self.dofmap
+        per_block, new_hist = {}, {}
+        for key in dm.blocks:
+            ue = dm.gather(u, key)
+            h = None if history is None else history.get(key)
+            tg = None if temps is None else temps.get(key)
+            fe, hn = ops.internal_force(
+                self.block_X[key], ue, self._cell(key),
+                self.block_mat[key], kinem=self.params.kinem, history=h, dt=dt,
+                temps=tg,
+            )
+            per_block[key] = fe.reshape(fe.shape[0], -1)
+            if hn is not None:
+                new_hist[key] = hn
+        f = dm.scatter_add(per_block)
+        return f, (new_hist if new_hist else None)
+
+    def _cell(self, key):
+        from fourc_tpu.core.cells import get_cell
+
+        return get_cell(self.dofmap.blocks[key].cell)
+
+    def external_force(self, t, u=None):
+        """Global external force at time t (Neumann + point + body loads)."""
+        f = jnp.zeros((self.ndof,), dtype=self.coords.dtype)
+        d = self.ndpn
+        for nb, fc, conn, Xf in self._neumann_data:
+            if nb.kind == "pressure":
+                uf = (
+                    u.reshape(-1, d)[conn]
+                    if u is not None
+                    else jnp.zeros_like(Xf)
+                )
+                fn = self.functions.get(nb.funct[0])
+                xg = gm.interp_field(Xf, fc.N)
+                p = nb.val[0] * fn(xg, t, component=0)
+                fe = ops.surface_pressure_force(Xf, uf, p, fc, follower=True)
+            else:
+                comps = []
+                xg = gm.interp_field(Xf, fc.N)  # (n_face, ngp, d)
+                for k in range(d):
+                    if k < len(nb.onoff) and nb.onoff[k]:
+                        fn = self.functions.get(nb.funct[k])
+                        comps.append(nb.val[k] * fn(xg, t, component=0))
+                    else:
+                        comps.append(jnp.zeros(xg.shape[:2]))
+                trac = jnp.stack(comps, axis=-1)
+                fe = ops.surface_traction_force(Xf, trac, fc)
+            edof = conn[:, :, None] * d + jnp.arange(d)[None, None, :]
+            f = f.at[edof.reshape(-1)].add(fe.reshape(-1))
+
+        for pb in self.point_neumann:
+            xyz = self.coords[jnp.asarray(pb.nodes)]
+            for k in range(min(d, len(pb.onoff))):
+                if pb.onoff[k]:
+                    fn = self.functions.get(pb.funct[k])
+                    vals = pb.val[k] * fn(xyz, t, component=0)
+                    dofs = jnp.asarray(pb.nodes) * d + k
+                    f = f.at[dofs].add(vals)
+
+        for bf in self.body_forces:
+            f = f + self._body_force(bf, t)
+        return f
+
+    def _body_force(self, bf, t):
+        dm = self.dofmap
+        per_block = {}
+        for key in dm.blocks:
+            cell = self._cell(key)
+            Xe = self.block_X[key]
+            rho = self._density[key] or 1.0
+            _, detJ = gm.iso_gradients(Xe, cell.dN)
+            wdet = gm.weighted(detJ, cell.gauss_weights)
+            xg = gm.interp_field(Xe, cell.N)
+            comps = []
+            for k in range(self.ndpn):
+                if k < len(bf.val) and bf.val[k] != 0:
+                    fn = self.functions.get(bf.funct[k])
+                    comps.append(bf.val[k] * fn(xg, t, component=0))
+                else:
+                    comps.append(jnp.zeros(xg.shape[:2]))
+            b = jnp.stack(comps, axis=-1)  # (e,g,d)
+            fe = rho * jnp.einsum("eg,ga,egd->ead", wdet, jnp.asarray(cell.N), b)
+            per_block[key] = fe.reshape(fe.shape[0], -1)
+        return dm.scatter_add(per_block)
+
+    # -- mass ---------------------------------------------------------------
+
+    def lumped_mass(self):
+        dm = self.dofmap
+        per_block = {}
+        for key in dm.blocks:
+            m = ops.lumped_mass(self.block_X[key], self._cell(key), self._density[key])
+            per_block[key] = jnp.repeat(m, self.ndpn, axis=-1).reshape(m.shape[0], -1)
+        return dm.scatter_add(per_block)
+
+    def mass_matvec(self, v):
+        if self.params.mass == "lumped":
+            if not hasattr(self, "_mlump"):
+                self._mlump = self.lumped_mass()
+            return self._mlump * v
+        dm = self.dofmap
+        per_block = {}
+        for key in dm.blocks:
+            ve = dm.gather(v, key)
+            me = ops.consistent_mass_matvec(
+                self.block_X[key], ve, self._cell(key), self._density[key]
+            )
+            per_block[key] = me.reshape(me.shape[0], -1)
+        return dm.scatter_add(per_block)
+
+    # -- preconditioner -----------------------------------------------------
+
+    def build_preconditioner(self, u, history=None, dt=None, mass_shift=0.0):
+        """Block-Jacobi (k x k nodal blocks) from the element tangents at u.
+
+        mass_shift: adds c * M contributions for dynamic effective systems.
+        """
+        kind = self.params.precond
+        if kind == "none":
+            return lambda r: r
+        d = self.ndpn
+        nn = self.disc.n_nodes
+        blocks = jnp.zeros((nn, d, d), dtype=self.coords.dtype)
+        dm = self.dofmap
+        for key in dm.blocks:
+            cell = self._cell(key)
+            ue = dm.gather(u, key)
+            h = None if history is None else history.get(key)
+            Ke = ops.element_stiffness(
+                self.block_X[key], ue, cell, self.block_mat[key],
+                kinem=self.params.kinem, history=h, dt=dt,
+            )  # (e, nen*d, nen*d)
+            nen = cell.nen
+            Ke = Ke.reshape(-1, nen, d, nen, d)
+            diag_blocks = jnp.einsum("eaiaj->eaij", Ke)  # (e, nen, d, d)
+            if mass_shift:
+                m = ops.lumped_mass(self.block_X[key], cell, self._density[key])
+                eye = jnp.eye(d, dtype=m.dtype)
+                diag_blocks = diag_blocks + mass_shift * m[..., None, None] * eye
+            conn = dm.blocks[key].conn
+            blocks = blocks.at[conn.reshape(-1)].add(diag_blocks.reshape(-1, d, d))
+
+        # constrained dofs: identity rows/cols so the preconditioner is
+        # mask-safe (free/fixed coupling removed)
+        free = self.dbc.free_mask.reshape(nn, d)
+        eye = jnp.eye(d, dtype=blocks.dtype)
+        fm = free[..., None] & free[..., None, :]
+        blocks = jnp.where(fm, blocks, 0.0) + jnp.where(
+            jnp.logical_not(free)[..., None] & (eye[None] > 0), 1.0, 0.0
+        )
+        if kind == "jacobi":
+            diag = jnp.einsum("nii->ni", blocks).reshape(-1)
+            return pc.jacobi(diag)
+        return pc.block_jacobi(blocks)
+
+    # -- output quantities ----------------------------------------------------
+
+    def nodal_stresses(self, u, history=None, dt=None):
+        """Volume-weighted nodal average of GP Cauchy stresses: (n_nodes, 3, 3)."""
+        dm = self.dofmap
+        nn = self.disc.n_nodes
+        num = jnp.zeros((nn, 3, 3))
+        den = jnp.zeros((nn,))
+        for key in dm.blocks:
+            cell = self._cell(key)
+            ue = dm.gather(u, key)
+            h = None if history is None else history.get(key)
+            sig = ops.gp_stresses(
+                self.block_X[key], ue, cell, self.block_mat[key],
+                kinem=self.params.kinem, history=h, dt=dt,
+            )
+            nod = ops.extrapolate_to_nodes(sig, cell)  # (e, nen, 3, 3)
+            conn = dm.blocks[key].conn.reshape(-1)
+            num = num.at[conn].add(nod.reshape(-1, 3, 3))
+            den = den.at[conn].add(jnp.ones_like(conn, dtype=den.dtype))
+        return num / jnp.maximum(den, 1.0)[:, None, None]
+
+    def strain_energy(self, u):
+        total = 0.0
+        for key in self.dofmap.blocks:
+            total = total + ops.strain_energy(
+                self.block_X[key], self.dofmap.gather(u, key), self._cell(key),
+                self.block_mat[key], kinem=self.params.kinem,
+            )
+        return total
+
+
+# ---------------------------------------------------------------------------
+# state + integrators
+# ---------------------------------------------------------------------------
+
+
+def init_state(f: SolidField):
+    z = jnp.zeros((f.ndof,), dtype=jnp.float64 if f.params.dtype == "float64" else jnp.float32)
+    hist = {}
+    for key, blk in f.dofmap.blocks.items():
+        m = f.block_mat[key]
+        if getattr(m, "history_shape", ()):
+            cell = f._cell(key)
+            n = blk.conn.shape[0] * cell.ngp
+            hist[key] = m.init_history(n).reshape(blk.conn.shape[0], cell.ngp, -1)
+    state = {
+        "d": z,
+        "v": z,
+        "a": z,
+        "t": jnp.asarray(0.0, z.dtype),
+        "step": jnp.asarray(0),
+        "fint": z,
+        "fext": z,
+        "hist": hist,
+    }
+    # consistent initial accelerations: M a0 = fext(0) - fint(d0)  (ref:
+    # the reference computes initial acceleration the same way)
+    return state
+
+
+def make_step(f: SolidField, dt: float | None = None):
+    """Build the jitted step function for the configured integrator."""
+    dt = float(dt if dt is not None else f.params.dt)
+    typ = f.params.dyntype
+    if typ == "statics":
+        raw = _make_statics_step(f, dt)
+    elif typ == "onesteptheta":
+        raw = _make_ost_step(f, dt)
+    elif typ == "genalpha":
+        raw = _make_genalpha_step(f, dt)
+    elif typ in ("explicit", "explicit_central"):
+        raw = _make_central_diff_step(f, dt)
+    else:
+        raise ValueError(f"unknown DYNAMICTYPE {typ!r}")
+    return jax.jit(raw)
+
+
+def _make_statics_step(f: SolidField, dt: float):
+    def step(state):
+        t1 = state["t"] + dt
+        hist = state["hist"] or None
+
+        def residual(u):
+            fi, _ = f.internal_force(u, history=hist, dt=dt)
+            return fi - f.external_force(t1, u)
+
+        u0 = f.dbc.apply(state["d"], t1)  # predictor: constdis + DBC at t_{n+1}
+        M = f.build_preconditioner(u0, history=hist, dt=dt)
+        u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
+
+        fint_new, hist_new = f.internal_force(u, history=hist, dt=dt)
+        new_state = dict(state)
+        new_state.update(
+            d=u, t=t1, step=state["step"] + 1, fint=fint_new,
+            fext=f.external_force(t1, u), hist=hist_new or state["hist"],
+        )
+        return new_state, stats
+
+    return step
+
+
+def _newmark_updates(f, dt, d_new, d_n, v_n, a_n, beta, gamma):
+    a_new = (d_new - d_n) / (beta * dt * dt) - v_n / (beta * dt) - (0.5 - beta) / beta * a_n
+    v_new = v_n + dt * ((1 - gamma) * a_n + gamma * a_new)
+    return v_new, a_new
+
+
+def _make_genalpha_step(f: SolidField, dt: float):
+    ga = f.params.genalpha
+    am, af, beta, gamma = ga.alpha_m, ga.alpha_f, ga.beta, ga.gamma
+    ra, rb = f.params.rayleigh_alpha, f.params.rayleigh_beta
+
+    def step(state):
+        t1 = state["t"] + dt
+        tm = (1 - af) * t1 + af * state["t"]
+        d_n, v_n, a_n = state["d"], state["v"], state["a"]
+        fint_n = state["fint"]
+        hist = state["hist"] or None
+
+        def residual(d_new):
+            v_new, a_new = _newmark_updates(f, dt, d_new, d_n, v_n, a_n, beta, gamma)
+            a_mid = (1 - am) * a_new + am * a_n
+            fi, _ = f.internal_force(d_new, history=hist, dt=dt)
+            fint_mid = (1 - af) * fi + af * fint_n
+            r = f.mass_matvec(a_mid) + fint_mid - (
+                (1 - af) * f.external_force(t1, d_new) + af * state["fext"]
+            )
+            if ra or rb:
+                v_mid = (1 - af) * v_new + af * v_n
+                r = r + ra * f.mass_matvec(v_mid)
+                if rb:
+                    # stiffness-proportional damping via jvp of fint at d_new
+                    _, kv = jax.jvp(
+                        lambda x: f.internal_force(x, history=hist, dt=dt)[0],
+                        (d_new,), (v_mid,),
+                    )
+                    r = r + rb * kv
+            return r
+
+        u0 = f.dbc.apply(d_n, t1)  # constdis predictor
+        M = f.build_preconditioner(u0, history=hist, dt=dt,
+                                   mass_shift=(1 - am) / (beta * dt * dt))
+        u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
+
+        v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
+        fint_new, hist_new = f.internal_force(u, history=hist, dt=dt)
+        new_state = dict(state)
+        new_state.update(
+            d=u, v=v1, a=a1, t=t1, step=state["step"] + 1,
+            fint=fint_new, fext=f.external_force(t1, u),
+            hist=hist_new or state["hist"],
+        )
+        return new_state, stats
+
+    return step
+
+
+def _make_ost_step(f: SolidField, dt: float):
+    th = f.params.theta
+
+    def step(state):
+        t1 = state["t"] + dt
+        d_n, v_n, a_n = state["d"], state["v"], state["a"]
+        fint_n, fext_n = state["fint"], state["fext"]
+        hist = state["hist"] or None
+
+        def residual(d_new):
+            v_new = (d_new - d_n) / (th * dt) - (1 - th) / th * v_n
+            a_mid = (v_new - v_n) / dt  # = theta a_{n+1} + (1-theta) a_n
+            fi, _ = f.internal_force(d_new, history=hist, dt=dt)
+            return (
+                f.mass_matvec(a_mid)
+                + th * fi + (1 - th) * fint_n
+                - (th * f.external_force(t1, d_new) + (1 - th) * fext_n)
+            )
+
+        u0 = f.dbc.apply(d_n, t1)
+        M = f.build_preconditioner(u0, history=hist, dt=dt, mass_shift=1.0 / (th * dt * dt))
+        u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
+
+        v1 = (u - d_n) / (th * dt) - (1 - th) / th * v_n
+        a1 = (v1 - v_n) / (th * dt) - (1 - th) / th * a_n
+        fint_new, hist_new = f.internal_force(u, history=hist, dt=dt)
+        new_state = dict(state)
+        new_state.update(
+            d=u, v=v1, a=a1, t=t1, step=state["step"] + 1,
+            fint=fint_new, fext=f.external_force(t1, u),
+            hist=hist_new or state["hist"],
+        )
+        return new_state, stats
+
+    return step
+
+
+def _make_central_diff_step(f: SolidField, dt: float):
+    """Explicit central difference with lumped mass (ref: explicit/)."""
+    mlump = f.lumped_mass()
+    minv = jnp.where(mlump > 0, 1.0 / jnp.maximum(mlump, 1e-300), 0.0)
+
+    def step(state):
+        t1 = state["t"] + dt
+        hist = state["hist"] or None
+        a = state["a"]
+        v_half = state["v"] + 0.5 * dt * a
+        d_new = state["d"] + dt * v_half
+        d_new = f.dbc.apply(d_new, t1)
+        fint, hist_new = f.internal_force(d_new, history=hist, dt=dt)
+        fext = f.external_force(t1, d_new)
+        a_new = jnp.where(f.dbc.free_mask, minv * (fext - fint), 0.0)
+        v_new = v_half + 0.5 * dt * a_new
+        new_state = dict(state)
+        new_state.update(
+            d=d_new, v=v_new, a=a_new, t=t1, step=state["step"] + 1,
+            fint=fint, fext=fext, hist=hist_new or state["hist"],
+        )
+        stats = {"iters": jnp.asarray(0), "resnorm": jnp.asarray(0.0),
+                 "dispnorm": jnp.asarray(0.0), "lin_iters": jnp.asarray(0),
+                 "converged": jnp.asarray(True)}
+        return new_state, stats
+
+    return step
