@@ -1,0 +1,366 @@
+"""Input decks: YAML with the reference's section semantics.
+
+Counterpart of the reference's InputFile/InputSpec subsystem
+(ref: src/core/io/src/4C_io_input_file.hpp:94 — .dat legacy + YAML decks;
+4C_io_input_spec_builders.hpp:554-1075 — declarative, typed, defaulted,
+validated schema).  Here the schema is a python-native spec tree
+(``Spec``/``group``/``param``) that validates + defaults a YAML mapping and
+can self-describe (``describe()``) for docs — the analog of `--parameters`
+metadata emission.
+
+Deck layout (one YAML document):
+
+  problem:            {type: structure|scatra|thermo|fluid|tsi|coupled ...}
+  structural_dynamic: integrator + Newton + solver settings  ("STRUCTURAL DYNAMIC")
+  scatra_dynamic / thermal_dynamic / fluid_dynamic: per-field sections
+  solver:             Krylov method + preconditioner         ("SOLVER 1")
+  materials:          {id: {type: ..., params...}}           ("MATERIALS")
+  functions:          {id: expr | [expr per component]}      ("FUNCT1..")
+  geometry:           generator | explicit nodes/elements    ("NODE COORDS"/"STRUCTURE ELEMENTS")
+  conditions:         dirichlet/neumann/point_neumann/body_force ("DESIGN ... CONDITIONS")
+  result_description: list of nodal checks                   ("RESULT DESCRIPTION")
+"""
+
+from __future__ import annotations
+
+import io as _io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fourc_tpu.core import gridgen
+from fourc_tpu.core.conditions import BodyForce, DirichletBC, NeumannBC, PointNeumannBC
+from fourc_tpu.core.functions import FunctionManager
+from fourc_tpu.core.mesh import Discretization, ElementBlock, FaceBlock
+
+
+# ---------------------------------------------------------------------------
+# minimal InputSpec-style schema (validate + defaults + self-description)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class param:
+    typ: object
+    default: object = None
+    required: bool = False
+    choices: tuple | None = None
+    doc: str = ""
+
+
+@dataclass
+class group:
+    specs: dict
+    required: bool = False
+    doc: str = ""
+
+
+def validate(spec: dict, data: dict, path="") -> dict:
+    """Validate a mapping against a spec dict; returns defaulted copy."""
+    data = dict(data or {})
+    out = {}
+    known = set()
+    for key, s in spec.items():
+        known.add(key)
+        if isinstance(s, group):
+            sub = data.get(key)
+            if sub is None:
+                if s.required:
+                    raise ValueError(f"deck: missing required section {path}{key}")
+                out[key] = validate(s.specs, {}, path=f"{path}{key}.") if s.specs else {}
+            else:
+                out[key] = validate(s.specs, sub, path=f"{path}{key}.")
+        elif isinstance(s, param):
+            if key in data:
+                v = data[key]
+                if s.typ in (int, float) and v is not None:
+                    v = s.typ(v)
+                if s.typ is str and isinstance(v, str):
+                    v = v.lower()
+                if s.choices and v not in s.choices:
+                    raise ValueError(
+                        f"deck: {path}{key} = {v!r} not in {s.choices}"
+                    )
+                out[key] = v
+            elif s.required:
+                raise ValueError(f"deck: missing required parameter {path}{key}")
+            else:
+                out[key] = s.default
+        else:  # raw passthrough
+            out[key] = data.get(key, s)
+    for key in data:
+        if key not in known:
+            raise ValueError(f"deck: unknown key {path}{key}")
+    return out
+
+
+def describe(spec: dict, indent=0) -> str:
+    """Self-describing schema dump (analog of the reference's --parameters)."""
+    lines = []
+    for key, s in spec.items():
+        if isinstance(s, group):
+            lines.append("  " * indent + f"{key}:  # {s.doc}")
+            lines.append(describe(s.specs, indent + 1))
+        elif isinstance(s, param):
+            t = getattr(s.typ, "__name__", str(s.typ))
+            extra = f" choices={list(s.choices)}" if s.choices else ""
+            lines.append(
+                "  " * indent + f"{key}: {t} = {s.default!r}{extra}  # {s.doc}"
+            )
+    return "\n".join(l for l in lines if l)
+
+
+# field dynamic sections share this shape (ref: 4C_inpar_structure.cpp:62-586)
+def _dyn_spec(default_dyntype, dyntypes):
+    return group(
+        {
+            "dynamictype": param(str, default_dyntype, choices=dyntypes, doc="time integrator"),
+            "kinem": param(str, "nonlinear", choices=("linear", "nonlinear"), doc="kinematics"),
+            "timestep": param(float, 1.0, doc="dt"),
+            "numstep": param(int, 1, doc="number of steps"),
+            "maxtime": param(float, None, doc="final time (overrides numstep)"),
+            "theta": param(float, 0.5, doc="one-step-theta parameter"),
+            "rho_inf": param(float, 1.0, doc="gen-alpha spectral radius"),
+            "maxiter": param(int, 20, doc="Newton max iterations"),
+            "tolres": param(float, 1e-8, doc="abs residual norm tol (NORM_RESF)"),
+            "toldisp": param(float, 1e-8, doc="abs increment norm tol (NORM_DISP)"),
+            "normcombi": param(str, "and", choices=("and", "or")),
+            "predict": param(str, "constdis", choices=("constdis", "constvel", "tangdis")),
+            "divercont": param(
+                str, "stop", choices=("stop", "continue", "halve_step", "adapt_step"),
+                doc="Newton divergence action (ref DIVERCONT)",
+            ),
+            "maxdivconrefinementlevel": param(int, 5),
+            "lumpmass": param(bool, False),
+            "m_damp": param(float, 0.0, doc="Rayleigh mass damping"),
+            "k_damp": param(float, 0.0, doc="Rayleigh stiffness damping"),
+            "linesearch": param(bool, False),
+        },
+        doc="field time integration",
+    )
+
+
+DECK_SPEC = {
+    "title": param(str, ""),
+    "problem": group(
+        {
+            "type": param(
+                str, "structure",
+                choices=("structure", "scatra", "thermo", "fluid", "tsi", "ale",
+                         "fsi", "ssi", "particle", "lubrication", "elch"),
+            ),
+            "restart": param(int, 0),
+            "dtype": param(str, "float64", choices=("float32", "float64")),
+        },
+        required=True,
+        doc="PROBLEM TYPE section",
+    ),
+    "structural_dynamic": _dyn_spec(
+        "statics", ("statics", "onesteptheta", "genalpha", "explicit")
+    ),
+    "scatra_dynamic": _dyn_spec("onesteptheta", ("stationary", "onesteptheta", "bdf2", "genalpha")),
+    "thermal_dynamic": _dyn_spec("statics", ("statics", "onesteptheta", "genalpha")),
+    "fluid_dynamic": _dyn_spec("onesteptheta", ("stationary", "onesteptheta", "bdf2", "genalpha")),
+    "tsi_dynamic": group(
+        {
+            "coupling": param(str, "monolithic", choices=("oneway", "partitioned", "monolithic")),
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "maxiter": param(int, 20),
+            "tolres": param(float, 1e-8),
+            "itemax_outer": param(int, 20),
+            "convtol_outer": param(float, 1e-8),
+        },
+        doc="TSI DYNAMIC",
+    ),
+    "solver": group(
+        {
+            "method": param(str, "cg", choices=("cg", "gmres", "bicgstab", "direct")),
+            "precond": param(
+                str, "block_jacobi",
+                choices=("none", "jacobi", "block_jacobi", "chebyshev", "gmg"),
+            ),
+            "maxiter": param(int, 500),
+            "rtol": param(float, 1e-4),
+            "adaptive": param(bool, True),
+            "gmres_restart": param(int, 50),
+        },
+        doc="SOLVER 1 block",
+    ),
+    "io": group(
+        {
+            "write_vtu": param(bool, False),
+            "output_dir": param(str, "output"),
+            "interval": param(int, 1),
+            "write_stress": param(bool, False),
+            "restart_interval": param(int, 0, doc="checkpoint every N steps (0=off)"),
+            "verbosity": param(str, "standard", choices=("minimal", "standard", "verbose", "debug")),
+        },
+        doc="IO section",
+    ),
+    "materials": {},  # id -> spec dict (validated by material factory)
+    "functions": {},  # id -> expr | [exprs]
+    "geometry": {},  # see _build_geometry
+    "conditions": {},
+    "result_description": [],
+    "cloning": {},  # field cloning map (e.g. thermo from structure), ref: cloning map
+}
+
+
+@dataclass
+class Deck:
+    raw: dict
+    problem: dict
+    disc: dict  # name -> Discretization
+    materials: dict  # id -> material spec dict (instantiated later per field)
+    functions: FunctionManager
+    conditions: dict  # per-field condition lists
+    result_tests: list
+    sections: dict  # all validated sections
+
+    @property
+    def problem_type(self):
+        return self.problem["type"]
+
+
+def load(src) -> Deck:
+    """Load a deck from a path / YAML string / dict."""
+    import yaml
+
+    if isinstance(src, dict):
+        data = src
+    else:
+        text = src
+        if "\n" not in str(src):
+            with open(src) as fh:
+                text = fh.read()
+        data = yaml.safe_load(_io.StringIO(text))
+    cfg = validate(DECK_SPEC, data)
+
+    functions = FunctionManager()
+    for fid, expr in (cfg.get("functions") or {}).items():
+        functions.add(int(fid), expr)
+
+    disc = _build_geometry(cfg.get("geometry") or {}, cfg)
+    conditions = _build_conditions(cfg.get("conditions") or {}, disc)
+
+    return Deck(
+        raw=data,
+        problem=cfg["problem"],
+        disc=disc,
+        materials={int(k): dict(v) for k, v in (cfg.get("materials") or {}).items()},
+        functions=functions,
+        conditions=conditions,
+        result_tests=list(cfg.get("result_description") or []),
+        sections=cfg,
+    )
+
+
+def _build_geometry(geo: dict, cfg) -> dict:
+    """geometry section -> {disc_name: Discretization}.
+
+    Analog of MeshReader + GridGenerator (ref: 4C_io_meshreader.hpp:43,
+    4C_io_gridgenerator.hpp:35).
+    """
+    out = {}
+    if "generator" in geo:
+        gens = geo["generator"]
+        if isinstance(gens, dict):
+            gens = [gens]
+        for g in gens:
+            g = dict(g)
+            kind = g.pop("kind", "box")
+            name = g.pop("name", "structure")
+            mat = g.pop("mat", 1)
+            if kind == "box":
+                d = gridgen.box(
+                    int(g.pop("nx")), int(g.pop("ny")), int(g.pop("nz")),
+                    lo=tuple(g.pop("lo", (0, 0, 0))), hi=tuple(g.pop("hi", (1, 1, 1))),
+                    cell=g.pop("cell", "hex8"), name=name, mat_id=mat,
+                )
+            elif kind == "rectangle":
+                d = gridgen.rectangle(
+                    int(g.pop("nx")), int(g.pop("ny")),
+                    lo=tuple(g.pop("lo", (0, 0))), hi=tuple(g.pop("hi", (1, 1))),
+                    cell=g.pop("cell", "quad4"), name=name, mat_id=mat,
+                )
+            else:
+                raise ValueError(f"unknown generator kind {kind!r}")
+            if g:
+                raise ValueError(f"generator: unknown keys {sorted(g)}")
+            out[name] = d
+    if "nodes" in geo:
+        name = geo.get("name", "structure")
+        coords = np.asarray(geo["nodes"], dtype=np.float64)
+        d = Discretization(name=name, coords=coords)
+        for cell, spec in (geo.get("elements") or {}).items():
+            if isinstance(spec, list):
+                spec = {"conn": spec, "mat": 1}
+            d.add_block(cell, np.asarray(spec["conn"], np.int32), spec.get("mat", 1))
+        for nm, ids in (geo.get("node_sets") or {}).items():
+            d.node_sets[nm] = np.asarray(ids, np.int32)
+        for nm, fspec in (geo.get("face_sets") or {}).items():
+            d.face_sets[nm] = [
+                FaceBlock(cell, np.asarray(conn, np.int32)) for cell, conn in fspec.items()
+            ]
+        d.node_sets.setdefault("all", np.arange(d.n_nodes, dtype=np.int32))
+        out[name] = d
+    if not out:
+        raise ValueError("deck has no geometry")
+    return out
+
+
+def _resolve_nodes(disc: Discretization, ref):
+    if isinstance(ref, str):
+        return disc.node_sets[ref]
+    return np.asarray(ref, dtype=np.int32)
+
+
+def _resolve_faces(disc: Discretization, ref):
+    if isinstance(ref, str):
+        return disc.face_sets[ref]
+    # inline faces: {cell: [[conn]]}
+    return [FaceBlock(cell, np.asarray(conn, np.int32)) for cell, conn in ref.items()]
+
+
+def _build_conditions(conds: dict, discs: dict) -> dict:
+    """conditions section -> {field_name: {kind: [BC objects]}}."""
+    out = {}
+    for key, items in conds.items():
+        for item in items:
+            item = dict(item)
+            fieldname = item.pop("field", None) or next(iter(discs))
+            disc = discs[fieldname]
+            f = out.setdefault(
+                fieldname,
+                {"dirichlet": [], "neumann": [], "point_neumann": [], "body_force": []},
+            )
+            if key == "dirichlet":
+                f["dirichlet"].append(
+                    DirichletBC(
+                        _resolve_nodes(disc, item["nodes"]),
+                        onoff=item["onoff"], val=item["val"], funct=item.get("funct"),
+                    )
+                )
+            elif key == "neumann":
+                f["neumann"].append(
+                    NeumannBC(
+                        _resolve_faces(disc, item["faces"]),
+                        onoff=item.get("onoff", [1] * len(item["val"])),
+                        val=item["val"], funct=item.get("funct"),
+                        kind=item.get("kind", "traction"),
+                    )
+                )
+            elif key == "point_neumann":
+                f["point_neumann"].append(
+                    PointNeumannBC(
+                        _resolve_nodes(disc, item["nodes"]),
+                        onoff=item.get("onoff", [1] * len(item["val"])),
+                        val=item["val"], funct=item.get("funct"),
+                    )
+                )
+            elif key == "body_force":
+                f["body_force"].append(BodyForce(val=item["val"], funct=item.get("funct")))
+            else:
+                raise ValueError(f"unknown condition kind {key!r}")
+    return out

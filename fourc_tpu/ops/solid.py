@@ -135,17 +135,17 @@ def element_stiffness(Xe, ue, cell: CellType, material, kinem="nonlinear",
     stiffness, 4C_solid_3D_ele_calc.cpp) but obtained by jacfwd of the
     element residual — exact by construction.
     """
-    nen = Xe.shape[1]
+    nen, d = Xe.shape[1], Xe.shape[2]
 
     def local_res(x, u, h):
         f, _ = internal_force(
-            x[None], u.reshape(nen, 3)[None], cell, material,
+            x[None], u.reshape(nen, d)[None], cell, material,
             kinem=kinem, history=None if h is None else h[None], dt=dt,
         )
-        return f[0].reshape(nen * 3)
+        return f[0].reshape(nen * d)
 
     def per_elem(x, u, h):
-        return jax.jacfwd(lambda uu: local_res(x, uu, h))(u.reshape(nen * 3))
+        return jax.jacfwd(lambda uu: local_res(x, uu, h))(u.reshape(nen * d))
 
     if history is None:
         return jax.vmap(lambda x, u: per_elem(x, u, None))(Xe, ue)

@@ -1,0 +1,149 @@
+"""Global problem driver: deck -> fields -> time loop -> result tests.
+
+Counterpart of the reference's global driver
+(ref: apps/global_full/4C_global_full_cal_control.cpp:43-200 — `ntacal`
+problem-type dispatch; src/adapter/4C_adapter_str_timeloop.cpp:20-79 — the
+field time loop with prepare/solve/update/output; divergence handling
+`perform_error_action`, 4C_structure_new_timint_implicit.cpp:230-350).
+
+The host loop ONLY dispatches jitted step functions, checks the returned
+convergence flag, handles DIVERCONT time-step refinement and triggers
+output; all numerics stay on device.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from fourc_tpu.io import deck as deck_mod
+from fourc_tpu.physics.newton import NewtonParams
+from fourc_tpu.utils.timer import Timers
+
+
+@dataclass
+class RunResult:
+    deck: object
+    fields: dict  # name -> physics field object
+    states: dict  # name -> final state pytree
+    stats: dict = field(default_factory=dict)  # special quantities
+    timers: object = None
+
+    def query(self, fieldname, quantity, node):
+        name = fieldname or next(iter(self.fields))
+        f = self.fields[name]
+        return f.node_value(self.states[name], quantity, node)
+
+    def query_special(self, fieldname, quantity):
+        name = fieldname or next(iter(self.fields))
+        return self.stats[name][quantity]
+
+
+def run(deck_src, callbacks=None) -> RunResult:
+    """Run a deck end to end. deck_src: path | yaml str | dict | Deck."""
+    deck = deck_src if isinstance(deck_src, deck_mod.Deck) else deck_mod.load(deck_src)
+    ptype = deck.problem_type
+    if ptype == "structure":
+        from fourc_tpu.physics import structure_driver as drv
+    elif ptype in ("scatra", "elch"):
+        from fourc_tpu.physics import scatra_driver as drv
+    elif ptype == "thermo":
+        from fourc_tpu.physics import thermo_driver as drv
+    elif ptype == "fluid":
+        from fourc_tpu.physics import fluid_driver as drv
+    elif ptype == "tsi":
+        from fourc_tpu.physics import tsi_driver as drv
+    else:
+        raise NotImplementedError(f"problem type {ptype!r} not implemented yet")
+    return drv.run(deck, callbacks=callbacks)
+
+
+# ---------------------------------------------------------------------------
+# generic implicit time loop with DIVERCONT (shared by all fields)
+# ---------------------------------------------------------------------------
+
+
+def time_loop(
+    fieldname,
+    state,
+    make_step,  # dt -> jitted step fn (state -> (state, stats))
+    dt0: float,
+    n_steps: int,
+    divercont: str = "stop",
+    max_levels: int = 5,
+    callbacks=None,
+    timers: Timers | None = None,
+    verbose: bool = True,
+):
+    """Run n_steps of size dt0, refining dt on divergence per DIVERCONT.
+
+    Returns (state, aggregate_stats dict).
+    """
+    timers = timers or Timers()
+    step_fns = {}
+
+    def get_step(dt):
+        if dt not in step_fns:
+            with timers("compile"):
+                step_fns[dt] = make_step(dt)
+        return step_fns[dt]
+
+    agg = {"newton_iters": 0, "lin_iters": 0, "steps": 0, "substeps": 0,
+           "resnorm": 0.0, "halvings": 0}
+
+    def try_advance(state, dt, level):
+        """Advance by dt, recursively halving on divergence."""
+        st_new, stats = get_step(dt)(state)
+        ok = bool(stats["converged"])
+        if ok:
+            agg["newton_iters"] += int(stats["iters"])
+            agg["lin_iters"] += int(stats["lin_iters"])
+            agg["substeps"] += 1
+            agg["resnorm"] = float(stats["resnorm"])
+            return st_new
+        if divercont == "continue":
+            agg["substeps"] += 1
+            return st_new
+        if divercont in ("halve_step", "adapt_step") and level < max_levels:
+            agg["halvings"] += 1
+            half = try_advance(state, dt / 2, level + 1)
+            return try_advance(half, dt / 2, level + 1)
+        raise RuntimeError(
+            f"{fieldname}: nonlinear solver diverged at t={float(state['t']):g} "
+            f"(resnorm={float(stats['resnorm']):g}); DIVERCONT={divercont} exhausted"
+        )
+
+    t_wall = time.perf_counter()
+    for k in range(n_steps):
+        with timers("step"):
+            state = try_advance(state, dt0, 0)
+        agg["steps"] += 1
+        if callbacks:
+            for cb in callbacks:
+                cb(fieldname, state, agg)
+    agg["walltime"] = time.perf_counter() - t_wall
+    if verbose:
+        print(
+            f"[{fieldname}] {agg['steps']} steps ({agg['substeps']} substeps), "
+            f"{agg['newton_iters']} Newton its, {agg['lin_iters']} Krylov its, "
+            f"{agg['walltime']:.3f}s wall"
+        )
+    return state, agg
+
+
+def newton_params_from(dyn: dict, solver: dict) -> NewtonParams:
+    return NewtonParams(
+        max_iter=dyn["maxiter"],
+        tol_res=dyn["tolres"],
+        tol_disp=dyn["toldisp"],
+        combine=dyn["normcombi"],
+        lin_method=solver["method"] if solver["method"] != "direct" else "gmres",
+        lin_maxiter=solver["maxiter"],
+        lin_rtol=solver["rtol"],
+        lin_adaptive=solver["adaptive"],
+        gmres_restart=solver["gmres_restart"],
+        line_search=dyn.get("linesearch", False),
+    )

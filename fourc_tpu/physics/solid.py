@@ -336,7 +336,7 @@ def init_state(f: SolidField):
             cell = f._cell(key)
             n = blk.conn.shape[0] * cell.ngp
             hist[key] = m.init_history(n).reshape(blk.conn.shape[0], cell.ngp, -1)
-    state = {
+    return {
         "d": z,
         "v": z,
         "a": z,
@@ -346,9 +346,42 @@ def init_state(f: SolidField):
         "fext": z,
         "hist": hist,
     }
-    # consistent initial accelerations: M a0 = fext(0) - fint(d0)  (ref:
-    # the reference computes initial acceleration the same way)
-    return state
+
+
+def compute_initial_state(f: SolidField, state, consistent_mass_tol=1e-10):
+    """Make forces + acceleration consistent with the current (d, v, t).
+
+    Analog of the reference's initial-acceleration solve
+    (M a0 = f_ext(0) - f_int(d0), ref: structure time integrators'
+    determine_mass_damp_consistent_accelerations).  Call after setting
+    nonzero initial displacements/velocities and before stepping.
+    """
+    from fourc_tpu.linalg import solvers as ls
+
+    t0 = state["t"]
+    d0 = f.dbc.apply(state["d"], t0)
+    fint0, _ = f.internal_force(d0, history=state["hist"] or None)
+    fext0 = f.external_force(t0, d0)
+    rhs = f.dbc.mask(fext0 - fint0)
+    if f.params.dyntype in ("statics",):
+        a0 = jnp.zeros_like(d0)
+    else:
+        mlump = f.lumped_mass()
+        if f.params.mass == "lumped":
+            a0 = jnp.where(mlump > 0, rhs / jnp.maximum(mlump, 1e-300), 0.0)
+        else:
+            from fourc_tpu.linalg.precond import jacobi
+
+            def Mop(v):
+                vm = f.dbc.mask(v)
+                return jnp.where(f.dbc.free_mask, f.mass_matvec(vm), v)
+
+            res = ls.cg(Mop, rhs, M=jacobi(jnp.maximum(mlump, 1e-300)),
+                        tol=consistent_mass_tol, maxiter=200)
+            a0 = f.dbc.mask(res.x)
+    new = dict(state)
+    new.update(d=d0, a=a0, fint=fint0, fext=fext0)
+    return new
 
 
 def make_step(f: SolidField, dt: float | None = None):

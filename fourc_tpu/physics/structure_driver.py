@@ -1,0 +1,107 @@
+"""Structure problem driver: deck -> SolidField -> time loop.
+
+Analog of the reference's `caldyn_drt`/`dyn_nlnstructural_drt`
+(ref: src/structure/4C_structure_dyn_nln_drt.cpp:36-160) wiring input
+sections into the integrator + nonlinear solver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fourc_tpu.materials import make_material
+from fourc_tpu.physics import driver as drv
+from fourc_tpu.physics import solid as ps
+from fourc_tpu.utils.timer import Timers
+
+
+def build_field(deck, disc_name="structure"):
+    disc = deck.disc[disc_name]
+    dyn = deck.sections["structural_dynamic"]
+    solver = deck.sections["solver"]
+
+    params = ps.SolidParams(
+        kinem=dyn["kinem"],
+        dyntype=dyn["dynamictype"],
+        dt=dyn["timestep"],
+        n_steps=dyn["numstep"],
+        theta=dyn["theta"],
+        genalpha=ps.GenAlphaParams(rho_inf=dyn["rho_inf"]),
+        newton=drv.newton_params_from(dyn, solver),
+        precond=solver["precond"],
+        mass="lumped" if dyn["lumpmass"] else "consistent",
+        rayleigh_alpha=dyn["m_damp"],
+        rayleigh_beta=dyn["k_damp"],
+        divercont=dyn["divercont"],
+        max_halvings=dyn["maxdivconrefinementlevel"],
+        predictor=dyn["predict"],
+        dtype=deck.problem["dtype"],
+    )
+    materials = {mid: make_material(spec) for mid, spec in deck.materials.items()}
+    conds = deck.conditions.get(disc_name, {})
+    f = ps.SolidField(
+        disc,
+        materials,
+        params,
+        dirichlet=conds.get("dirichlet", ()),
+        neumann=conds.get("neumann", ()),
+        point_neumann=conds.get("point_neumann", ()),
+        body_forces=conds.get("body_force", ()),
+        functions=deck.functions,
+    )
+    return f
+
+
+def run(deck, callbacks=None) -> drv.RunResult:
+    timers = Timers()
+    with timers("setup"):
+        f = build_field(deck)
+        state = ps.compute_initial_state(f, ps.init_state(f))
+    dyn = deck.sections["structural_dynamic"]
+    n_steps = dyn["numstep"]
+    if dyn["maxtime"] is not None:
+        n_steps = int(round(dyn["maxtime"] / dyn["timestep"]))
+
+    out_cbs = list(callbacks or [])
+    io_cfg = deck.sections["io"]
+    if io_cfg["write_vtu"]:
+        from fourc_tpu.io.vtu import VtuWriterCallback
+
+        out_cbs.append(VtuWriterCallback(f, io_cfg))
+
+    state, agg = drv.time_loop(
+        "structure", state, lambda dt: ps.make_step(f, dt), dyn["timestep"],
+        n_steps, divercont=dyn["divercont"], max_levels=dyn["maxdivconrefinementlevel"],
+        callbacks=out_cbs, timers=timers,
+    )
+    return drv.RunResult(
+        deck=deck, fields={"structure": SolidFieldView(f)},
+        states={"structure": state},
+        stats={"structure": agg}, timers=timers,
+    )
+
+
+class SolidFieldView:
+    """Result-test / output access for a solid field
+    (the analog of Solid::ResultTest,
+    ref: structure_new/src/utils/4C_structure_new_resulttest.cpp:179)."""
+
+    _VEC = {"disp": "d", "vel": "v", "acc": "a"}
+    _COMP = {"x": 0, "y": 1, "z": 2}
+
+    def __init__(self, f):
+        self.f = f
+
+    def node_value(self, state, quantity: str, node: int):
+        q = quantity.lower()
+        if q[:-1] in self._VEC:
+            key = self._VEC[q[:-1]]
+            comp = self._COMP[q[-1]]
+            return float(np.asarray(state[key]).reshape(-1, self.f.ndpn)[node, comp])
+        if q.startswith("stress_"):
+            # stress_xx / stress_xy ...
+            ij = q.split("_")[1]
+            i, j = self._COMP[ij[0]], self._COMP[ij[1]]
+            sig = np.asarray(self.f.nodal_stresses(state["d"], history=state["hist"] or None))
+            return float(sig[node, i, j])
+        raise KeyError(f"unknown structure quantity {quantity!r}")
