@@ -1,0 +1,97 @@
+"""Benchmark: 1M-DOF nonlinear hyperelastic implicit gen-alpha step.
+
+BASELINE.json north star: assembly + full Newton on one TPU chip,
+target < 150 ms / implicit step.  Prints ONE JSON line:
+  {"metric": ..., "value": ms_per_step, "unit": "ms", "vs_baseline": ...}
+
+vs_baseline = target_ms / measured_ms  (>1 means faster than target).
+
+Env overrides: BENCH_N (elements per edge, default 69 -> 1.03M dofs),
+BENCH_STEPS, BENCH_PRECOND.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from fourc_tpu.core import gridgen
+    from fourc_tpu.core.conditions import DirichletBC, NeumannBC
+    from fourc_tpu.materials import make_material
+    from fourc_tpu.physics import solid as ps
+
+    n = int(os.environ.get("BENCH_N", "69"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "3"))
+    precond = os.environ.get("BENCH_PRECOND", "block_jacobi")
+
+    disc = gridgen.box(n, n, n, cell="hex8")
+    ndof = disc.n_nodes * 3
+
+    mat = make_material({"type": "neohooke", "youngs": 1.0e4, "nue": 0.3, "density": 1.0})
+    params = ps.SolidParams(
+        kinem="nonlinear",
+        dyntype="genalpha",
+        genalpha=ps.GenAlphaParams(rho_inf=0.9),
+        precond=precond,
+    )
+    # f32 on TPU: converge to the precision floor of single precision
+    # (relative residual drop ~1e-6); Newton caps below keep the step honest
+    params.newton.tol_res = 1e-5 * ndof**0.5
+    params.newton.tol_disp = 1e-7 * ndof**0.5
+    params.newton.max_iter = 10
+    params.newton.lin_maxiter = 2000
+    params.newton.lin_rtol = 1e-4
+
+    dbc = [DirichletBC(disc.node_sets["zmin"], [1, 1, 1], [0, 0, 0])]
+    neu = [NeumannBC(disc.face_sets["zmax"], [1, 0, 0], [50.0, 0, 0])]
+    f = ps.SolidField(disc, {1: mat}, params, dirichlet=dbc, neumann=neu)
+
+    state = ps.compute_initial_state(f, ps.init_state(f))
+    step = ps.make_step(f, dt=0.02)
+
+    # warmup (compile + first step)
+    t0 = time.perf_counter()
+    state, stats = step(state)
+    jax.block_until_ready(state["d"])
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    newtons = []
+    lins = []
+    for _ in range(n_steps):
+        t0 = time.perf_counter()
+        state, stats = step(state)
+        jax.block_until_ready(state["d"])
+        times.append(time.perf_counter() - t0)
+        newtons.append(int(stats["iters"]))
+        lins.append(int(stats["lin_iters"]))
+
+    ms = 1e3 * min(times)
+    target_ms = 150.0
+    result = {
+        "metric": "time_per_implicit_step_1MDOF_neohooke_genalpha",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(target_ms / ms, 4),
+        "detail": {
+            "ndof": ndof,
+            "elements": int(disc.n_elements),
+            "newton_iters": newtons,
+            "krylov_iters": lins,
+            "resnorm": float(stats["resnorm"]),
+            "converged": bool(stats["converged"]),
+            "compile_s": round(compile_s, 2),
+            "dofs_per_sec": round(ndof / (ms / 1e3)),
+            "precond": precond,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -98,7 +98,15 @@ class SolidField:
         self.ndpn = disc.dim
         self.dofmap = disc.dofmap(self.ndpn)
         self.ndof = self.dofmap.ndof
-        self.dbc = DirichletHandler(list(dirichlet), disc.coords, self.ndpn, self.functions)
+        dirichlet = list(dirichlet)
+        if "__padding__" in disc.node_sets and len(disc.node_sets["__padding__"]):
+            from fourc_tpu.core.conditions import DirichletBC
+
+            dirichlet.append(
+                DirichletBC(disc.node_sets["__padding__"],
+                            [1] * self.ndpn, [0.0] * self.ndpn)
+            )
+        self.dbc = DirichletHandler(dirichlet, disc.coords, self.ndpn, self.functions)
         self.neumann = list(neumann)
         self.point_neumann = list(point_neumann)
         self.body_forces = list(body_forces)
@@ -328,7 +336,10 @@ class SolidField:
 
 
 def init_state(f: SolidField):
-    z = jnp.zeros((f.ndof,), dtype=jnp.float64 if f.params.dtype == "float64" else jnp.float32)
+    import jax as _jax
+
+    want64 = f.params.dtype == "float64" and _jax.config.jax_enable_x64
+    z = jnp.zeros((f.ndof,), dtype=jnp.float64 if want64 else jnp.float32)
     hist = {}
     for key, blk in f.dofmap.blocks.items():
         m = f.block_mat[key]
