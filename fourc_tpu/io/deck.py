@@ -135,6 +135,12 @@ def _dyn_spec(default_dyntype, dyntypes):
             "m_damp": param(float, 0.0, doc="Rayleigh mass damping"),
             "k_damp": param(float, 0.0, doc="Rayleigh stiffness damping"),
             "linesearch": param(bool, False),
+            "stab": param(
+                str, "taylor", choices=("zero", "taylor", "franca_valentin"),
+                doc="SUPG tau definition (scalar transport; ref STABTYPE/DEFINITION_TAU)",
+            ),
+            "velocity": None,  # convective velocity expressions (scatra)
+            "initialfield_funct": param(int, 0, doc="initial field function id"),
         },
         doc="field time integration",
     )
@@ -330,7 +336,9 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
         for item in items:
             item = dict(item)
             fieldname = item.pop("field", None) or next(iter(discs))
-            disc = discs[fieldname]
+            # coupled problems: a condition may target a field whose mesh is
+            # cloned from the single generated one (ref: cloning map)
+            disc = discs.get(fieldname) or next(iter(discs.values()))
             f = out.setdefault(
                 fieldname,
                 {"dirichlet": [], "neumann": [], "point_neumann": [], "body_force": []},

@@ -56,7 +56,8 @@ def cg(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
     def body(state):
         x, r, z, p, rz, k = state
         Ap = A(p)
-        alpha = rz / jnp.vdot(p, Ap)
+        pAp = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
@@ -71,10 +72,12 @@ def cg(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
 
 
 def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
-    """Restarted GMRES(m) with left preconditioning and Givens rotations.
+    """Restarted GMRES(m), RIGHT-preconditioned, with Givens rotations.
 
-    Fixed-size Krylov basis (restart m) so all shapes are static under jit;
-    inner iterations that run past convergence are masked no-ops.
+    Right preconditioning keeps all convergence norms on the TRUE residual
+    (matching Belos' convention), so `tol`/`atol` compose with the Newton
+    forcing terms; fixed-size Krylov basis (restart m) keeps shapes static
+    under jit — iterations past convergence are masked no-ops.
     """
     M = M or _identity
     n = b.shape[0]
@@ -82,11 +85,11 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
     x0 = jnp.zeros_like(b) if x0 is None else x0
     dtype = b.dtype
 
-    bnorm = jnp.linalg.norm(M(b))
+    bnorm = jnp.linalg.norm(b)
     stop = jnp.maximum(tol * bnorm, atol)
 
     def inner(x):
-        r = M(b - A(x))
+        r = b - A(x)
         beta = jnp.linalg.norm(r)
 
         V = jnp.zeros((m + 1, n), dtype)
@@ -98,8 +101,8 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
 
         def arnoldi_step(j, carry):
             def step(carry):
-                V, H, cs, sn, g, done = carry
-                w = M(A(V[j]))
+                V, H, cs, sn, g, done, jdone = carry
+                w = A(M(V[j]))
                 # modified Gram-Schmidt (static loop over full basis, masked)
                 hcol = V @ w  # (m+1,) — includes zero rows; mask below
                 mask = (jnp.arange(m + 1) <= j).astype(dtype)
@@ -126,18 +129,21 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
                 g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
                 H = H.at[:, j].set(hcol)
                 done = jnp.abs(g[j + 1]) <= stop
-                return (V, H, cs, sn, g, done)
+                return (V, H, cs, sn, g, done, jdone + 1)
 
             return jax.lax.cond(carry[5], lambda c: c, step, carry)
 
-        V, H, cs, sn, g, _ = jax.lax.fori_loop(
-            0, m, arnoldi_step, (V, H, cs, sn, g, jnp.asarray(False))
+        V, H, cs, sn, g, _, jdone = jax.lax.fori_loop(
+            0, m, arnoldi_step, (V, H, cs, sn, g, jnp.asarray(False), 0)
         )
 
-        # back substitution on the m x m upper triangular H
-        Hm = H[:m, :m] + jnp.eye(m, dtype=dtype) * 1e-300
-        y = jax.scipy.linalg.solve_triangular(Hm, g[:m], lower=False)
-        return x + y @ V[:m], jnp.abs(g[m])
+        # back substitution on the upper-triangular H; columns never filled
+        # (early convergence) get a unit diagonal + zero rhs so their y is 0
+        idx = jnp.arange(m)
+        Hm = H[:m, :m] + jnp.diag(jnp.where(idx >= jdone, 1.0, 0.0).astype(dtype))
+        g_eff = jnp.where(idx >= jdone, 0.0, g[:m])
+        y = jax.scipy.linalg.solve_triangular(Hm, g_eff, lower=False)
+        return x + M(y @ V[:m]), jnp.abs(g[jdone]), jdone
 
     def cond(state):
         x, res, k = state
@@ -145,10 +151,10 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
 
     def body(state):
         x, _, k = state
-        x, res = inner(x)
-        return (x, res, k + m)
+        x, res, jdone = inner(x)
+        return (x, res, k + jdone)
 
-    r0 = jnp.linalg.norm(M(b - A(x0)))
+    r0 = jnp.linalg.norm(b - A(x0))
     x, res, k = jax.lax.while_loop(cond, body, (x0, r0, 0))
     return KrylovResult(x=x, iters=k, resnorm=res, converged=res <= stop)
 
@@ -167,11 +173,14 @@ def bicgstab(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
 
     def body(s):
         rho_new = jnp.vdot(rhat, s["r"])
-        beta = (rho_new / s["rho"]) * (s["alpha"] / s["omega"])
+        beta = (rho_new / jnp.where(s["rho"] == 0, 1.0, s["rho"])) * (
+            s["alpha"] / jnp.where(s["omega"] == 0, 1.0, s["omega"])
+        )
         p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
         phat = M(p)
         v = A(phat)
-        alpha = rho_new / jnp.vdot(rhat, v)
+        rv = jnp.vdot(rhat, v)
+        alpha = rho_new / jnp.where(rv == 0, 1.0, rv)
         h = s["x"] + alpha * phat
         sres = s["r"] - alpha * v
         shat = M(sres)

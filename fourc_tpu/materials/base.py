@@ -24,7 +24,14 @@ def make_material(spec: dict):
     (ref: 4C_mat_material_factory.cpp:188).
     """
     spec = {k.lower(): v for k, v in spec.items()}
-    typ = spec.pop("type").lower()
+    # YAML 1.1 quirk: "1e-3" (no dot) parses as a string — coerce numerics
+    for k, v in spec.items():
+        if isinstance(v, str):
+            try:
+                spec[k] = float(v)
+            except ValueError:
+                pass
+    typ = str(spec.pop("type")).lower()
     try:
         cls = MATERIAL_REGISTRY[typ]
     except KeyError:

@@ -47,18 +47,26 @@ def run(deck_src, callbacks=None) -> RunResult:
     deck = deck_src if isinstance(deck_src, deck_mod.Deck) else deck_mod.load(deck_src)
     ptype = deck.problem_type
     if ptype == "structure":
-        from fourc_tpu.physics import structure_driver as drv
-    elif ptype in ("scatra", "elch"):
-        from fourc_tpu.physics import scatra_driver as drv
-    elif ptype == "thermo":
-        from fourc_tpu.physics import thermo_driver as drv
-    elif ptype == "fluid":
-        from fourc_tpu.physics import fluid_driver as drv
-    elif ptype == "tsi":
-        from fourc_tpu.physics import tsi_driver as drv
-    else:
-        raise NotImplementedError(f"problem type {ptype!r} not implemented yet")
-    return drv.run(deck, callbacks=callbacks)
+        from fourc_tpu.physics import structure_driver
+
+        return structure_driver.run(deck, callbacks=callbacks)
+    if ptype in ("scatra", "elch"):
+        from fourc_tpu.physics import scalar_driver
+
+        return scalar_driver.run_scatra(deck, callbacks=callbacks)
+    if ptype == "thermo":
+        from fourc_tpu.physics import scalar_driver
+
+        return scalar_driver.run_thermo(deck, callbacks=callbacks)
+    if ptype == "fluid":
+        from fourc_tpu.physics import fluid_driver
+
+        return fluid_driver.run(deck, callbacks=callbacks)
+    if ptype == "tsi":
+        from fourc_tpu.physics import tsi_driver
+
+        return tsi_driver.run(deck, callbacks=callbacks)
+    raise NotImplementedError(f"problem type {ptype!r} not implemented yet")
 
 
 # ---------------------------------------------------------------------------

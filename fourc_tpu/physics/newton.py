@@ -129,7 +129,9 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
             ok,
         )
 
-    init = (u0, r0, rnorm0, jnp.asarray(jnp.inf, u0.dtype), 0, 0, jnp.asarray(True))
+    # initial increment norm 0: an already-converged residual exits before
+    # the first Krylov solve (NOX convention: first status test is on F only)
+    init = (u0, r0, rnorm0, jnp.asarray(0.0, u0.dtype), 0, 0, jnp.asarray(True))
     u, r, rnorm, dnorm, k, lin_tot, _ = jax.lax.while_loop(cond, body, init)
     stats = {
         "iters": k,
