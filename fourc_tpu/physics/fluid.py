@@ -1,0 +1,283 @@
+"""Incompressible fluid field: stabilized N-S time integration.
+
+Counterpart of the reference's fluid module
+(ref: src/fluid/4C_fluid_implicit_integration.cpp — `FluidImplicitTimeInt`,
+`integrate()` :546, `time_loop()` :569, `solve()` :767; schemes
+4C_fluid_timint_{ost,bdf2,stationary}.*).  Equal-order velocity/pressure
+interpolation with SUPG/PSPG/grad-div stabilization (kernels in
+ops/fluid.py); dof layout per node: [u_1..u_dim, p] (ndpn = dim+1).
+
+The reference reassembles the stabilized system each fixed-point/Newton
+iteration; here the full Newton tangent (convective + stabilization
+linearizations) is jax.jvp through the residual inside one jitted
+Newton-Krylov while_loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourc_tpu.core.conditions import DirichletHandler
+from fourc_tpu.core.functions import FunctionManager
+from fourc_tpu.core.mesh import Discretization
+from fourc_tpu.ops import common as gm
+from fourc_tpu.ops import fluid as ops
+from fourc_tpu.physics.newton import NewtonParams, newton_solve
+
+
+@dataclass
+class FluidParams:
+    dyntype: str = "onesteptheta"  # stationary|onesteptheta|bdf2
+    dt: float = 1.0
+    n_steps: int = 1
+    theta: float = 0.5
+    newton: NewtonParams = field(default_factory=NewtonParams)
+    supg: bool = True
+    pspg: bool = True
+    graddiv: bool = True
+    initial_funct: int = 0
+    divercont: str = "stop"
+    max_halvings: int = 5
+    dtype: str = "float64"
+
+
+class FluidField:
+    quantity = "velocity"
+
+    def __init__(
+        self,
+        disc: Discretization,
+        materials: dict,
+        params: FluidParams,
+        dirichlet=(),
+        neumann=(),
+        body_forces=(),
+        functions: FunctionManager | None = None,
+    ):
+        self.disc = disc
+        self.params = params
+        self.functions = functions or FunctionManager()
+        self.dim = disc.dim
+        self.ndpn = disc.dim + 1  # velocity + pressure
+        self.dofmap = disc.dofmap(self.ndpn)
+        self.ndof = self.dofmap.ndof
+        dirichlet = list(dirichlet)
+        if "__padding__" in disc.node_sets and len(disc.node_sets["__padding__"]):
+            from fourc_tpu.core.conditions import DirichletBC
+
+            dirichlet.append(
+                DirichletBC(disc.node_sets["__padding__"],
+                            [1] * self.ndpn, [0.0] * self.ndpn)
+            )
+        self.dbc = DirichletHandler(dirichlet, disc.coords, self.ndpn, self.functions)
+        self.body_forces = list(body_forces)
+        self.neumann = list(neumann)
+
+        self.coords = jnp.asarray(disc.coords)
+        self.block_mat = {}
+        self.block_X = {}
+        for key, blk in disc.blocks.items():
+            mid = int(np.asarray(blk.mat_id)[0])
+            self.block_mat[key] = materials[mid]
+            self.block_X[key] = self.coords[self.dofmap.blocks[key].conn]
+
+    def _cell(self, key):
+        from fourc_tpu.core.cells import get_cell
+
+        return get_cell(self.dofmap.blocks[key].cell)
+
+    def split(self, x):
+        """Global vector -> (vel (n_nodes, dim), p (n_nodes,))."""
+        xn = x.reshape(-1, self.ndpn)
+        return xn[:, : self.dim], xn[:, self.dim]
+
+    def body_at_gps(self, key, t):
+        if not self.body_forces:
+            return None
+        cell = self._cell(key)
+        xg = gm.interp_field(self.block_X[key], cell.N)
+        out = jnp.zeros(xg.shape[:2] + (self.dim,), xg.dtype)
+        for bf in self.body_forces:
+            comps = []
+            for k in range(self.dim):
+                if k < len(bf.val) and bf.val[k] != 0:
+                    fn = self.functions.get(bf.funct[k])
+                    comps.append(bf.val[k] * fn(xg, t, component=0))
+                else:
+                    comps.append(jnp.zeros(xg.shape[:2]))
+            out = out + jnp.stack(comps, axis=-1)
+        return out
+
+    def residual_transient(self, x, xdot, t, dt=None):
+        """Global stabilized N-S residual; x = interleaved [u, p] per node."""
+        dm = self.dofmap
+        p = self.params
+        per_block = {}
+        for key in dm.blocks:
+            cell = self._cell(key)
+            m = self.block_mat[key]
+            xe = dm.gather(x, key)  # (e, nen, ndpn)
+            xde = dm.gather(xdot, key)
+            ue, pe = xe[..., : self.dim], xe[..., self.dim]
+            udote = xde[..., : self.dim]
+            f_mom, f_cont = ops.residual(
+                self.block_X[key], ue, pe, udote, cell,
+                mu=float(m.visc()), rho=float(m.density),
+                body_gp=self.body_at_gps(key, t), dt=dt,
+                supg=p.supg, pspg=p.pspg, graddiv=p.graddiv,
+            )
+            fe = jnp.concatenate([f_mom, f_cont[..., None]], axis=-1)
+            per_block[key] = fe.reshape(fe.shape[0], -1)
+        return dm.scatter_add(per_block)
+
+    def build_preconditioner(self, dt_factor=0.0, dt=None):
+        """Physics-based Jacobi: velocity diag = mu*grad-grad + rho*mass*fac;
+        pressure diag = PSPG tau/rho grad-grad (mask-safe)."""
+        from fourc_tpu.linalg.precond import jacobi
+
+        dm = self.dofmap
+        nn = self.disc.n_nodes
+        diag = jnp.zeros((nn, self.ndpn), self.coords.dtype)
+        for key in dm.blocks:
+            cell = self._cell(key)
+            m = self.block_mat[key]
+            mu, rho = float(m.visc()), float(m.density)
+            G, detJ = gm.iso_gradients(self.block_X[key], cell.dN)
+            wdet = gm.weighted(detJ, cell.gauss_weights)
+            gg = jnp.einsum("eg,egad,egad->ea", wdet, G, G)
+            mm = jnp.einsum("eg,ga,ga->ea", wdet, jnp.asarray(cell.N), jnp.asarray(cell.N))
+            vdiag = mu * gg + rho * dt_factor * mm
+            u0 = jnp.zeros(wdet.shape + (self.dim,), wdet.dtype)
+            tau_m, _ = ops.stab_params(u0, mu, rho, G, wdet, self.dim, dt)
+            pdiag = jnp.einsum("eg,eg,egad,egad->ea", wdet, tau_m, G, G) / rho
+            conn = dm.blocks[key].conn
+            contrib = jnp.concatenate(
+                [jnp.repeat(vdiag[..., None], self.dim, axis=-1), pdiag[..., None]],
+                axis=-1,
+            )
+            diag = diag.at[conn.reshape(-1)].add(contrib.reshape(-1, self.ndpn))
+        diag = diag.reshape(-1)
+        diag = jnp.where(self.dbc.free_mask, jnp.maximum(diag, 1e-300), 1.0)
+        return jacobi(diag)
+
+
+def init_state(f: FluidField):
+    want64 = f.params.dtype == "float64" and jax.config.jax_enable_x64
+    dtype = jnp.float64 if want64 else jnp.float32
+    z = jnp.zeros((f.ndof,), dtype=dtype)
+    x0 = z
+    if f.params.initial_funct:
+        fn = f.functions.get(f.params.initial_funct)
+        vals = fn(jnp.asarray(f.disc.coords, dtype), 0.0)  # (n, ncomp)
+        if vals.ndim == 1:
+            vals = vals[:, None]
+        pad = f.ndpn - vals.shape[1]
+        if pad > 0:
+            vals = jnp.concatenate([vals, jnp.zeros((vals.shape[0], pad), dtype)], 1)
+        x0 = vals[:, : f.ndpn].reshape(-1)
+    x0 = f.dbc.apply(x0, 0.0)
+    return {
+        "x": x0,
+        "xdot": z,
+        "x_nm1": x0,
+        "t": jnp.asarray(0.0, dtype),
+        "step": jnp.asarray(0),
+    }
+
+
+def make_step(f: FluidField, dt: float | None = None):
+    dt = float(dt if dt is not None else f.params.dt)
+    typ = f.params.dyntype
+    if typ == "stationary":
+        raw = _make_stationary_step(f, dt)
+    elif typ == "onesteptheta":
+        raw = _make_ost_step(f, dt)
+    elif typ == "bdf2":
+        raw = _make_bdf2_step(f, dt)
+    else:
+        raise ValueError(f"unknown FLUID DYNAMICTYPE {typ!r}")
+    return jax.jit(raw)
+
+
+def _nonsym(params: NewtonParams) -> NewtonParams:
+    if params.lin_method == "cg":
+        from dataclasses import replace
+
+        return replace(params, lin_method="gmres")
+    return params
+
+
+def _make_stationary_step(f: FluidField, dt: float):
+    def step(state):
+        t1 = state["t"] + dt
+        zero = jnp.zeros_like(state["x"])
+
+        def residual(x):
+            return f.residual_transient(x, zero, t1, dt=None)
+
+        x0 = f.dbc.apply(state["x"], t1)
+        M = f.build_preconditioner()
+        x, stats = newton_solve(residual, x0, f.dbc.free_mask, M, _nonsym(f.params.newton))
+        new = dict(state)
+        new.update(x=x, x_nm1=state["x"], t=t1, step=state["step"] + 1)
+        return new, stats
+
+    return step
+
+
+def _make_ost_step(f: FluidField, dt: float):
+    th = f.params.theta
+
+    def step(state):
+        t1 = state["t"] + dt
+        x_n, xdot_n = state["x"], state["xdot"]
+
+        def residual(x):
+            xdot = (x - x_n) / (th * dt) - (1 - th) / th * xdot_n
+            # pressure is not a dynamic variable: zero its rate
+            xdot = _zero_pressure_rate(f, xdot)
+            return f.residual_transient(x, xdot, t1, dt=dt)
+
+        x0 = f.dbc.apply(x_n, t1)
+        M = f.build_preconditioner(dt_factor=1.0 / (th * dt), dt=dt)
+        x, stats = newton_solve(residual, x0, f.dbc.free_mask, M, _nonsym(f.params.newton))
+        xdot1 = _zero_pressure_rate(f, (x - x_n) / (th * dt) - (1 - th) / th * xdot_n)
+        new = dict(state)
+        new.update(x=x, xdot=f.dbc.mask(xdot1), x_nm1=x_n, t=t1, step=state["step"] + 1)
+        return new, stats
+
+    return step
+
+
+def _make_bdf2_step(f: FluidField, dt: float):
+    def step(state):
+        t1 = state["t"] + dt
+        x_n, x_nm1 = state["x"], state["x_nm1"]
+        first = state["step"] == 0
+
+        def residual(x):
+            xdot_be = (x - x_n) / dt
+            xdot_b2 = (3.0 * x - 4.0 * x_n + x_nm1) / (2.0 * dt)
+            xdot = _zero_pressure_rate(f, jnp.where(first, xdot_be, xdot_b2))
+            return f.residual_transient(x, xdot, t1, dt=dt)
+
+        x0 = f.dbc.apply(x_n, t1)
+        M = f.build_preconditioner(dt_factor=1.5 / dt, dt=dt)
+        x, stats = newton_solve(residual, x0, f.dbc.free_mask, M, _nonsym(f.params.newton))
+        xdot1 = _zero_pressure_rate(
+            f, jnp.where(first, (x - x_n) / dt, (3.0 * x - 4.0 * x_n + x_nm1) / (2.0 * dt))
+        )
+        new = dict(state)
+        new.update(x=x, xdot=f.dbc.mask(xdot1), x_nm1=x_n, t=t1, step=state["step"] + 1)
+        return new, stats
+
+    return step
+
+
+def _zero_pressure_rate(f: FluidField, xdot):
+    xn = xdot.reshape(-1, f.ndpn)
+    return xn.at[:, f.dim].set(0.0).reshape(-1)

@@ -1,0 +1,88 @@
+"""Fluid problem driver: deck -> FluidField -> time loop.
+
+Analog of the reference's `dyn_fluid_drt` (ref: src/fluid/4C_fluid_dyn_nln_drt.cpp).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fourc_tpu.materials import make_material
+from fourc_tpu.physics import driver as drv
+from fourc_tpu.physics import fluid as pf
+from fourc_tpu.utils.timer import Timers
+
+
+def build_field(deck, disc_name="fluid") -> pf.FluidField:
+    cond_name = disc_name
+    if disc_name not in deck.disc and len(deck.disc) == 1:
+        disc_name = next(iter(deck.disc))
+    disc = deck.disc[disc_name]
+    dyn = deck.sections["fluid_dynamic"]
+    solver = deck.sections["solver"]
+
+    params = pf.FluidParams(
+        dyntype=dyn["dynamictype"],
+        dt=dyn["timestep"],
+        n_steps=dyn["numstep"],
+        theta=dyn["theta"],
+        newton=drv.newton_params_from(dyn, solver),
+        initial_funct=dyn.get("initialfield_funct", 0),
+        supg=dyn.get("stab", "taylor") != "zero",
+        pspg=dyn.get("stab", "taylor") != "zero",
+        graddiv=dyn.get("stab", "taylor") != "zero",
+        divercont=dyn["divercont"],
+        max_halvings=dyn["maxdivconrefinementlevel"],
+        dtype=deck.problem["dtype"],
+    )
+    materials = {mid: make_material(spec) for mid, spec in deck.materials.items()}
+    conds = deck.conditions.get(cond_name, {})
+    return pf.FluidField(
+        disc,
+        materials,
+        params,
+        dirichlet=conds.get("dirichlet", ()),
+        neumann=conds.get("neumann", ()),
+        body_forces=conds.get("body_force", ()),
+        functions=deck.functions,
+    )
+
+
+def run(deck, callbacks=None) -> drv.RunResult:
+    timers = Timers()
+    with timers("setup"):
+        f = build_field(deck)
+        state = pf.init_state(f)
+    dyn = deck.sections["fluid_dynamic"]
+    n_steps = dyn["numstep"]
+    if dyn["maxtime"] is not None:
+        n_steps = int(round(dyn["maxtime"] / dyn["timestep"]))
+
+    state, agg = drv.time_loop(
+        "fluid", state, lambda dt: pf.make_step(f, dt), dyn["timestep"],
+        n_steps, divercont=dyn["divercont"],
+        max_levels=dyn["maxdivconrefinementlevel"],
+        callbacks=list(callbacks or []), timers=timers,
+    )
+    return drv.RunResult(
+        deck=deck, fields={"fluid": FluidFieldView(f)}, states={"fluid": state},
+        stats={"fluid": agg}, timers=timers,
+    )
+
+
+class FluidFieldView:
+    """Result-test access (analog of FLD::FluidResultTest)."""
+
+    _COMP = {"x": 0, "y": 1, "z": 2}
+
+    def __init__(self, f: pf.FluidField):
+        self.f = f
+
+    def node_value(self, state, quantity: str, node: int):
+        q = quantity.lower()
+        xn = np.asarray(state["x"]).reshape(-1, self.f.ndpn)
+        if q in ("pressure", "p"):
+            return float(xn[node, self.f.dim])
+        if q.startswith("vel"):
+            return float(xn[node, self._COMP[q[-1]]])
+        raise KeyError(f"unknown fluid quantity {quantity!r}")
