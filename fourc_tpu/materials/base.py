@@ -66,6 +66,12 @@ class HyperelasticMaterial(Material):
     PK2 stress defaults to 2*dpsi/dC via AD (ref interface:
     4C_mat_so3_material.hpp:45 evaluate(defgrd, glstrain) -> stress, cmat;
     here cmat is implicit in jvp through pk2).
+
+    Batch convention (the TPU-fast path): ``pk2``/``stress_small`` accept
+    C/eps of shape (3, 3) OR element-last batches (3, 3, M).  Hot materials
+    override them with leading-index closed forms (ops/common.py *l helpers)
+    that handle both shapes identically; this AD default vmaps over the
+    last axis.
     """
 
     kind = "solid"
@@ -74,7 +80,10 @@ class HyperelasticMaterial(Material):
         raise NotImplementedError
 
     def pk2(self, C):
-        return 2.0 * jax.grad(self.psi)(C)
+        if C.ndim == 2:
+            return 2.0 * jax.grad(self.psi)(C)
+        return jax.vmap(lambda c: 2.0 * jax.grad(self.psi)(c),
+                        in_axes=-1, out_axes=-1)(C)
 
     def cauchy(self, F):
         """Cauchy stress from deformation gradient (for output)."""
@@ -87,7 +96,8 @@ class HyperelasticMaterial(Material):
     # SVK; consistent small-strain limit otherwise) — mirrors the
     # reference's use of So3Material for both kinematics.
     def stress_small(self, eps):
-        return self.pk2(2.0 * eps + jnp.eye(3))
+        eye = jnp.eye(3, dtype=eps.dtype).reshape((3, 3) + (1,) * (eps.ndim - 2))
+        return self.pk2(2.0 * eps + eye)
 
     def psi_small(self, eps):
         return self.psi(2.0 * eps + jnp.eye(3))
@@ -102,7 +112,10 @@ class SmallStrainMaterial(Material):
         raise NotImplementedError
 
     def stress_small(self, eps):
-        return jax.grad(self.psi_small)(eps)
+        if eps.ndim == 2:
+            return jax.grad(self.psi_small)(eps)
+        return jax.vmap(lambda e: jax.grad(self.psi_small)(e),
+                        in_axes=-1, out_axes=-1)(eps)
 
 
 class HistoryMaterial(Material):

@@ -11,6 +11,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 
 from fourc_tpu.materials.base import HyperelasticMaterial, register_material
+from fourc_tpu.ops import common as gm
 
 _I3 = jnp.eye(3)
 
@@ -37,9 +38,10 @@ class StVenantKirchhoff(HyperelasticMaterial):
         return 0.5 * lam * trE**2 + mu * jnp.sum(E * E)
 
     def pk2(self, C):
+        # leading-index closed form: works for (3,3) and batched (3,3,M)
         lam, mu = lame(self.youngs, self.nue)
-        E = 0.5 * (C - _I3)
-        return lam * jnp.trace(E) * _I3 + 2.0 * mu * E
+        E = 0.5 * (C - gm.eye3l(C))
+        return lam * gm.tr3l(E) * gm.eye3l(C) + 2.0 * mu * E
 
 
 @register_material("neohooke")
@@ -64,10 +66,12 @@ class NeoHooke(HyperelasticMaterial):
 
     def pk2(self, C):
         # hand-coded for speed: S = mu (I - C^-1) + lambda lnJ C^-1
+        # (leading-index closed form: works for (3,3) and batched (3,3,M))
         lam, mu = lame(self.youngs, self.nue)
-        Cinv = jnp.linalg.inv(C)
-        lnJ = 0.5 * jnp.log(jnp.linalg.det(C))
-        return mu * (_I3 - Cinv) + lam * lnJ * Cinv
+        det = gm.det3l(C)
+        Cinv = gm.inv3l(C, det)
+        lnJ = 0.5 * jnp.log(det)
+        return mu * (gm.eye3l(C) - Cinv) + lam * lnJ * Cinv
 
 
 @register_material("mooneyrivlin")

@@ -27,6 +27,9 @@ class LinearElastic(SmallStrainMaterial):
         return 0.5 * lam * tr**2 + mu * jnp.sum(eps * eps)
 
     def stress_small(self, eps):
+        # leading-index closed form: works for (3,3) and batched (3,3,M)
+        from fourc_tpu.ops import common as gm
+
         lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
         mu = self.youngs / (2 * (1 + self.nue))
-        return lam * jnp.trace(eps) * _I3 + 2.0 * mu * eps
+        return lam * gm.tr3l(eps) * gm.eye3l(eps) + 2.0 * mu * eps

@@ -53,12 +53,16 @@ class ThermoStVenantKirchhoff(HyperelasticMaterial):
         return lam, mu
 
     def pk2(self, C, T=None):
+        # leading-index closed form: works for (3,3) and batched (3,3,M)
+        from fourc_tpu.ops import common as gm
+
         lam, mu = self._lame()
-        E = 0.5 * (C - _I3)
-        S = lam * jnp.trace(E) * _I3 + 2.0 * mu * E
+        eye = gm.eye3l(C)
+        E = 0.5 * (C - eye)
+        S = lam * gm.tr3l(E) * eye + 2.0 * mu * E
         if T is not None:
             # thermal stress: -(3 lam + 2 mu) alpha (T - T0) I
-            S = S - (3.0 * lam + 2.0 * mu) * self.thexpans * (T - self.inittemp) * _I3
+            S = S - (3.0 * lam + 2.0 * mu) * self.thexpans * (T - self.inittemp) * eye
         return S
 
     def psi(self, C):
