@@ -48,6 +48,10 @@ def main(argv=None):
     from fourc_tpu.physics import driver
 
     deck = deck_mod.load(args.deck)
+    if args.restart:
+        deck.problem["restart"] = args.restart
+    if args.restart_from:
+        deck.sections["io"]["output_dir"] = args.restart_from
     print(f"fourc_tpu: problem={deck.problem_type}, "
           f"discretizations={ {k: (v.n_nodes, v.n_elements) for k, v in deck.disc.items()} }, "
           f"devices={jax.devices()}")

@@ -142,6 +142,31 @@ def time_loop(
     return state, agg
 
 
+def setup_restart(deck, fieldname, state, n_steps, callbacks):
+    """Common restart/checkpoint wiring for all field drivers.
+
+    Analog of the reference's restart control flow (CLI restart=<step> ->
+    DiscretizationReader per field; ref: 4C_global_full_inp_control.cpp +
+    4C_io.hpp:65) and per-step result writing.
+
+    Returns (state, remaining_steps, callbacks).
+    """
+    from fourc_tpu.io.checkpoint import Checkpointer, CheckpointCallback
+
+    restart = int(deck.problem.get("restart", 0) or 0)
+    io_cfg = deck.sections["io"]
+    interval = int(io_cfg.get("restart_interval", 0) or 0)
+    if not restart and not interval:
+        return state, n_steps, callbacks
+    ckpt = Checkpointer(io_cfg["output_dir"], prefix=fieldname, deck=deck)
+    if restart:
+        state = ckpt.load(restart, {fieldname: state})[fieldname]
+        n_steps = max(0, n_steps - restart)
+    if interval:
+        callbacks = list(callbacks) + [CheckpointCallback(ckpt, interval)]
+    return state, n_steps, callbacks
+
+
 def newton_params_from(dyn: dict, solver: dict) -> NewtonParams:
     return NewtonParams(
         max_iter=dyn["maxiter"],

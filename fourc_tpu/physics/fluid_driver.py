@@ -57,12 +57,14 @@ def run(deck, callbacks=None) -> drv.RunResult:
     n_steps = dyn["numstep"]
     if dyn["maxtime"] is not None:
         n_steps = int(round(dyn["maxtime"] / dyn["timestep"]))
+    cbs = list(callbacks or [])
+    state, n_steps, cbs = drv.setup_restart(deck, "fluid", state, n_steps, cbs)
 
     state, agg = drv.time_loop(
         "fluid", state, lambda dt: pf.make_step(f, dt), dyn["timestep"],
         n_steps, divercont=dyn["divercont"],
         max_levels=dyn["maxdivconrefinementlevel"],
-        callbacks=list(callbacks or []), timers=timers,
+        callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck, fields={"fluid": FluidFieldView(f)}, states={"fluid": state},

@@ -65,12 +65,14 @@ def _run_generic(deck, fieldname: str, section: str, callbacks=None):
     n_steps = dyn["numstep"]
     if dyn["maxtime"] is not None:
         n_steps = int(round(dyn["maxtime"] / dyn["timestep"]))
+    cbs = list(callbacks or [])
+    state, n_steps, cbs = drv.setup_restart(deck, fieldname, state, n_steps, cbs)
 
     state, agg = drv.time_loop(
         fieldname, state, lambda dt: st.make_step(f, dt), dyn["timestep"],
         n_steps, divercont=dyn["divercont"],
         max_levels=dyn["maxdivconrefinementlevel"],
-        callbacks=list(callbacks or []), timers=timers,
+        callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck,

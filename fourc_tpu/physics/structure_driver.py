@@ -68,6 +68,7 @@ def run(deck, callbacks=None) -> drv.RunResult:
         from fourc_tpu.io.vtu import VtuWriterCallback
 
         out_cbs.append(VtuWriterCallback(f, io_cfg))
+    state, n_steps, out_cbs = drv.setup_restart(deck, "structure", state, n_steps, out_cbs)
 
     state, agg = drv.time_loop(
         "structure", state, lambda dt: ps.make_step(f, dt), dyn["timestep"],

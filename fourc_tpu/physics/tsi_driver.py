@@ -230,10 +230,12 @@ def run(deck, callbacks=None) -> drv.RunResult:
         state["fint"] = fint0
         state["fext"] = f.solid.external_force(state["t"], state["d"])
     cfg = deck.sections["tsi_dynamic"]
+    cbs = list(callbacks or [])
+    state, n_steps, cbs = drv.setup_restart(deck, "tsi", state, cfg["numstep"], cbs)
 
     state, agg = drv.time_loop(
         "tsi", state, lambda dt: make_step(f, dt), cfg["timestep"],
-        cfg["numstep"], divercont="stop", callbacks=list(callbacks or []),
+        n_steps, divercont="stop", callbacks=cbs,
         timers=timers,
     )
     solid_view = structure_driver.SolidFieldView(f.solid)
