@@ -129,6 +129,63 @@ class BlockAssembly:
     perm: jnp.ndarray  # (n_ele*nen*ndpn,) argsort of edof (stable)
     sorted_dof: jnp.ndarray  # edof.flatten()[perm]
     mat_id: jnp.ndarray  # (n_ele,) int32
+    # structured fast path (see DofMap docstring): dict with "shape" (elements
+    # per axis), "pshape" (points per axis), "offsets" (local-node lattice
+    # offsets), or None for general unstructured gather/scatter
+    structured: dict | None = None
+
+
+_HEX8_OFFSETS = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                 (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+_QUAD4_OFFSETS = [(0, 0), (1, 0), (1, 1), (0, 1)]
+
+
+def _detect_structured(disc, key, blk):
+    """Canonical lexicographic lattice block -> stencil metadata.
+
+    On a structured grid the gather u[conn] and the segment-sum scatter are
+    pure stencil operations: local node a of element (i,j,k) is the lattice
+    point (i,j,k)+offset_a, so gathers become static SLICES of the node
+    array and the scatter becomes nen static slice-adds.  On TPU this
+    removes all gather/scatter traffic from the hot loop (the measured
+    bottleneck of the matrix-free operator: slicing is free under fusion,
+    while row-gathers of 3-wide vectors run ~2 orders below HBM roofline).
+    The reference's analog is structured-grid provenance from GridGenerator
+    (ref: 4C_io_gridgenerator.hpp:35); general meshes fall back to the
+    index-based path.
+    """
+    ss = getattr(disc, "structured_shape", None)
+    if ss is None or hasattr(disc, "node_perm"):
+        return None
+    conn = np.asarray(blk.conn)
+    if len(ss) == 4 and blk.cell == "hex8" and ss[3] == 1:
+        nx, ny, nz, _ = ss
+        if conn.shape != (nx * ny * nz, 8):
+            return None
+        px, py, pz = nx + 1, ny + 1, nz + 1
+        ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                                 indexing="ij")
+        want = np.stack(
+            [((ii + di) * py + (jj + dj)) * pz + (kk + dk)
+             for di, dj, dk in _HEX8_OFFSETS], axis=-1,
+        ).reshape(-1, 8)
+        if not np.array_equal(conn, want):
+            return None
+        return {"shape": (nx, ny, nz), "pshape": (px, py, pz),
+                "offsets": _HEX8_OFFSETS}
+    if len(ss) == 3 and blk.cell == "quad4" and ss[2] == 1:
+        nx, ny, _ = ss
+        if conn.shape != (nx * ny, 4):
+            return None
+        px, py = nx + 1, ny + 1
+        ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+        want = np.stack(
+            [(ii + di) * py + (jj + dj) for di, dj in _QUAD4_OFFSETS], axis=-1
+        ).reshape(-1, 4)
+        if not np.array_equal(conn, want):
+            return None
+        return {"shape": (nx, ny), "pshape": (px, py), "offsets": _QUAD4_OFFSETS}
+    return None
 
 
 @dataclass
@@ -163,6 +220,7 @@ class DofMap:
                 perm=jnp.asarray(perm),
                 sorted_dof=jnp.asarray(flat[perm].astype(np.int32)),
                 mat_id=jnp.asarray(blk.mat_id),
+                structured=_detect_structured(disc, key, blk),
             )
         return DofMap(ndpn=ndpn, ndof=ndof, blocks=out)
 
@@ -170,6 +228,9 @@ class DofMap:
         """Sum per-element contributions into a global dof vector.
 
         per_block[key]: (n_ele, nen*ndpn) element vectors for that block.
+        Structured blocks use nen static slice-adds (stencil transpose);
+        general blocks use the sorted segment_sum (deterministic sum-into,
+        the analog of SparseMatrix::assemble by gid).
         """
         import jax
 
@@ -177,13 +238,36 @@ class DofMap:
         total = jnp.zeros((ndof,), dtype=next(iter(per_block.values())).dtype)
         for key, fe in per_block.items():
             ba = self.blocks[key]
+            if ba.structured is not None and out_dim is None:
+                st = ba.structured
+                shape, pshape, offsets = st["shape"], st["pshape"], st["offsets"]
+                nen = len(offsets)
+                fe4 = fe.reshape(shape + (nen, self.ndpn))
+                f3 = jnp.zeros(pshape + (self.ndpn,), fe.dtype)
+                for a, off in enumerate(offsets):
+                    sl = tuple(slice(o, o + s) for o, s in zip(off, shape))
+                    f3 = f3.at[sl].add(fe4[..., a, :])
+                total = total + f3.reshape(-1)
+                continue
             flat = fe.reshape(-1)[ba.perm]
-            total = total + jax.ops.segment_sum(flat, ba.sorted_dof, num_segments=ndof)
+            total = total + jax.ops.segment_sum(
+                flat, ba.sorted_dof, num_segments=ndof, indices_are_sorted=True
+            )
         return total
 
     def gather(self, u: jnp.ndarray, key: str) -> jnp.ndarray:
         """Global dof vector -> (n_ele, nen, ndpn) element-local values."""
         ba = self.blocks[key]
+        if ba.structured is not None:
+            st = ba.structured
+            shape, pshape, offsets = st["shape"], st["pshape"], st["offsets"]
+            u3 = u.reshape(pshape + (self.ndpn,))
+            E = int(np.prod(shape))
+            cols = [
+                u3[tuple(slice(o, o + s) for o, s in zip(off, shape))].reshape(E, self.ndpn)
+                for off in offsets
+            ]
+            return jnp.stack(cols, axis=1)
         return u.reshape(-1, self.ndpn)[ba.conn]
 
 

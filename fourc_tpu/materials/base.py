@@ -85,6 +85,18 @@ class HyperelasticMaterial(Material):
         return jax.vmap(lambda c: 2.0 * jax.grad(self.psi)(c),
                         in_axes=-1, out_axes=-1)(C)
 
+    def pk2_from_E(self, E):
+        """PK2 from the Green-Lagrange strain (the reference's So3Material
+        input, ref: 4C_mat_so3_material.hpp:45 evaluate(defgrd, glstrain)).
+
+        E is computed WITHOUT forming C - I, so stable overrides of this
+        method avoid the f32 cancellation that plagues C-based forms at
+        small strains (~1e-3 relative error at 1% strain in f32).  Default:
+        evaluate the C-based law at C = 2E + I.
+        """
+        eye = jnp.eye(3, dtype=E.dtype).reshape((3, 3) + (1,) * (E.ndim - 2))
+        return self.pk2(2.0 * E + eye)
+
     def cauchy(self, F):
         """Cauchy stress from deformation gradient (for output)."""
         C = F.T @ F

@@ -43,6 +43,11 @@ class StVenantKirchhoff(HyperelasticMaterial):
         E = 0.5 * (C - gm.eye3l(C))
         return lam * gm.tr3l(E) * gm.eye3l(C) + 2.0 * mu * E
 
+    def pk2_from_E(self, E):
+        # SVK is linear in E: exactly stable
+        lam, mu = lame(self.youngs, self.nue)
+        return lam * gm.tr3l(E) * gm.eye3l(E) + 2.0 * mu * E
+
 
 @register_material("neohooke")
 @dataclass
@@ -72,6 +77,20 @@ class NeoHooke(HyperelasticMaterial):
         Cinv = gm.inv3l(C, det)
         lnJ = 0.5 * jnp.log(det)
         return mu * (gm.eye3l(C) - Cinv) + lam * lnJ * Cinv
+
+    def pk2_from_E(self, E):
+        """Cancellation-free form for f32: with A = 2E = C - I,
+        I - C^-1 = C^-1 A  and  det(C) - 1 = trA + c2(A) + det(A) exactly,
+        so S = C^-1 (mu A + lam lnJ I), lnJ = log1p(det(C)-1)/2."""
+        lam, mu = lame(self.youngs, self.nue)
+        A = 2.0 * E
+        C = A + gm.eye3l(A)
+        trA = gm.tr3l(A)
+        trA2 = gm.tr3l(gm.matmul3l(A, A))
+        detC_m1 = trA + 0.5 * (trA * trA - trA2) + gm.det3l(A)
+        lnJ = 0.5 * jnp.log1p(detC_m1)
+        Cinv = gm.inv3l(C)
+        return gm.matmul3l(Cinv, mu * A + lam * lnJ * gm.eye3l(A))
 
 
 @register_material("mooneyrivlin")

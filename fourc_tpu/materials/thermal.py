@@ -65,6 +65,17 @@ class ThermoStVenantKirchhoff(HyperelasticMaterial):
             S = S - (3.0 * lam + 2.0 * mu) * self.thexpans * (T - self.inittemp) * eye
         return S
 
+    def pk2_from_E(self, E, T=None):
+        # SVK+thermal is linear in E: exactly stable
+        from fourc_tpu.ops import common as gm
+
+        lam, mu = self._lame()
+        eye = gm.eye3l(E)
+        S = lam * gm.tr3l(E) * eye + 2.0 * mu * E
+        if T is not None:
+            S = S - (3.0 * lam + 2.0 * mu) * self.thexpans * (T - self.inittemp) * eye
+        return S
+
     def psi(self, C):
         lam, mu = self._lame()
         E = 0.5 * (C - _I3)

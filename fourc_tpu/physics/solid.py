@@ -412,7 +412,25 @@ def make_step(f: SolidField, dt: float | None = None):
     return jax.jit(raw)
 
 
+def _static_precond(f: SolidField, mass_shift: float = 0.0):
+    """State-independent preconditioner built once per step function (GMG);
+    returns None when the per-state block-Jacobi should be used instead."""
+    if f.params.precond != "gmg":
+        return None
+    from fourc_tpu.linalg import gmg
+
+    M = gmg.build_for_solid(f, mass_shift=mass_shift)
+    if M is None:
+        import warnings
+
+        warnings.warn("gmg preconditioner needs a structured single-block "
+                      "mesh; falling back to block_jacobi")
+    return M
+
+
 def _make_statics_step(f: SolidField, dt: float):
+    M_gmg = _static_precond(f)
+
     def step(state):
         t1 = state["t"] + dt
         hist = state["hist"] or None
@@ -422,7 +440,7 @@ def _make_statics_step(f: SolidField, dt: float):
             return fi - f.external_force(t1, u)
 
         u0 = f.dbc.apply(state["d"], t1)  # predictor: constdis + DBC at t_{n+1}
-        M = f.build_preconditioner(u0, history=hist, dt=dt)
+        M = M_gmg if M_gmg is not None else f.build_preconditioner(u0, history=hist, dt=dt)
         u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
 
         fint_new, hist_new = f.internal_force(u, history=hist, dt=dt)
@@ -446,6 +464,7 @@ def _make_genalpha_step(f: SolidField, dt: float):
     ga = f.params.genalpha
     am, af, beta, gamma = ga.alpha_m, ga.alpha_f, ga.beta, ga.gamma
     ra, rb = f.params.rayleigh_alpha, f.params.rayleigh_beta
+    M_gmg = _static_precond(f, mass_shift=(1 - am) / (beta * dt * dt))
 
     def step(state):
         t1 = state["t"] + dt
@@ -475,8 +494,8 @@ def _make_genalpha_step(f: SolidField, dt: float):
             return r
 
         u0 = f.dbc.apply(d_n, t1)  # constdis predictor
-        M = f.build_preconditioner(u0, history=hist, dt=dt,
-                                   mass_shift=(1 - am) / (beta * dt * dt))
+        M = M_gmg if M_gmg is not None else f.build_preconditioner(
+            u0, history=hist, dt=dt, mass_shift=(1 - am) / (beta * dt * dt))
         u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
 
         v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
@@ -494,6 +513,7 @@ def _make_genalpha_step(f: SolidField, dt: float):
 
 def _make_ost_step(f: SolidField, dt: float):
     th = f.params.theta
+    M_gmg = _static_precond(f, mass_shift=1.0 / (th * dt * dt))
 
     def step(state):
         t1 = state["t"] + dt
@@ -512,7 +532,8 @@ def _make_ost_step(f: SolidField, dt: float):
             )
 
         u0 = f.dbc.apply(d_n, t1)
-        M = f.build_preconditioner(u0, history=hist, dt=dt, mass_shift=1.0 / (th * dt * dt))
+        M = M_gmg if M_gmg is not None else f.build_preconditioner(
+            u0, history=hist, dt=dt, mass_shift=1.0 / (th * dt * dt))
         u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
 
         v1 = (u - d_n) / (th * dt) - (1 - th) / th * v_n
