@@ -26,7 +26,7 @@ def main():
 
     n = int(os.environ.get("BENCH_N", "69"))
     n_steps = int(os.environ.get("BENCH_STEPS", "3"))
-    precond = os.environ.get("BENCH_PRECOND", "block_jacobi")
+    precond = os.environ.get("BENCH_PRECOND", "gmg")
 
     disc = gridgen.box(n, n, n, cell="hex8")
     ndof = disc.n_nodes * 3
@@ -38,12 +38,14 @@ def main():
         genalpha=ps.GenAlphaParams(rho_inf=0.9),
         precond=precond,
     )
-    # f32 on TPU: converge to the precision floor of single precision
-    # (relative residual drop ~1e-6); Newton caps below keep the step honest
-    params.newton.tol_res = 1e-5 * ndof**0.5
+    # f32 on TPU: relative residual drop of 1e-5 (the f32 floor for this
+    # problem is ~1e-6 relative; BASELINE's 1e-8 abs maps to f64 semantics)
+    params.newton.tol_res = 1e-8 if jax.config.jax_enable_x64 else 0.0
+    params.newton.tol_res_rel = 1e-5
     params.newton.tol_disp = 1e-7 * ndof**0.5
-    params.newton.max_iter = 10
-    params.newton.lin_maxiter = 2000
+    params.newton.combine = "or"
+    params.newton.max_iter = 8
+    params.newton.lin_maxiter = 1000
     params.newton.lin_rtol = 1e-4
 
     dbc = [DirichletBC(disc.node_sets["zmin"], [1, 1, 1], [0, 0, 0])]

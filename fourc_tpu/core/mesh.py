@@ -271,6 +271,39 @@ class DofMap:
         return u.reshape(-1, self.ndpn)[ba.conn]
 
 
+def merge_discretizations(a: Discretization, b: Discretization,
+                          prefix_b: str = "b2_") -> Discretization:
+    """Concatenate two bodies into one Discretization (multi-body contact /
+    meshtying setups — the reference holds all bodies in one
+    Core::FE::Discretization with conditions on subsets).
+
+    b's node ids are offset; b's node/face sets and block keys are prefixed
+    with `prefix_b` on collision.
+    """
+    off = a.n_nodes
+    out = Discretization(
+        name=a.name,
+        coords=np.concatenate([a.coords, b.coords], axis=0),
+    )
+    for key, blk in a.blocks.items():
+        out.blocks[key] = ElementBlock(blk.cell, blk.conn.copy(), blk.mat_id.copy())
+    for key, blk in b.blocks.items():
+        k = key if key not in out.blocks else prefix_b + key
+        out.blocks[k] = ElementBlock(blk.cell, blk.conn + off, blk.mat_id.copy())
+    for nm, ids in a.node_sets.items():
+        out.node_sets[nm] = ids.copy()
+    for nm, ids in b.node_sets.items():
+        k = nm if nm not in out.node_sets else prefix_b + nm
+        out.node_sets[k] = ids + off
+    for nm, fbs in a.face_sets.items():
+        out.face_sets[nm] = [FaceBlock(fb.cell, fb.conn.copy()) for fb in fbs]
+    for nm, fbs in b.face_sets.items():
+        k = nm if nm not in out.face_sets else prefix_b + nm
+        out.face_sets[k] = [FaceBlock(fb.cell, fb.conn + off) for fb in fbs]
+    out.node_sets["all"] = np.arange(out.n_nodes, dtype=np.int32)
+    return out
+
+
 def merge_duplicate_nodes(coords: np.ndarray, tol: float = 1e-12):
     """Return (unique_coords, old->new index map); used by mesh readers."""
     scale = max(1.0, float(np.abs(coords).max()))

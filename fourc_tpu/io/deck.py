@@ -123,6 +123,7 @@ def _dyn_spec(default_dyntype, dyntypes):
             "rho_inf": param(float, 1.0, doc="gen-alpha spectral radius"),
             "maxiter": param(int, 20, doc="Newton max iterations"),
             "tolres": param(float, 1e-8, doc="abs residual norm tol (NORM_RESF)"),
+            "tolres_rel": param(float, 0.0, doc="relative residual tol (NORM_RESF Rel)"),
             "toldisp": param(float, 1e-8, doc="abs increment norm tol (NORM_DISP)"),
             "normcombi": param(str, "and", choices=("and", "or")),
             "predict": param(str, "constdis", choices=("constdis", "constvel", "tangdis")),
@@ -292,9 +293,15 @@ def _build_geometry(geo: dict, cfg) -> dict:
                 )
             else:
                 raise ValueError(f"unknown generator kind {kind!r}")
+            prefix = g.pop("prefix", "b2_")
             if g:
                 raise ValueError(f"generator: unknown keys {sorted(g)}")
-            out[name] = d
+            if name in out:
+                from fourc_tpu.core.mesh import merge_discretizations
+
+                out[name] = merge_discretizations(out[name], d, prefix_b=prefix)
+            else:
+                out[name] = d
     if "nodes" in geo:
         name = geo.get("name", "structure")
         coords = np.asarray(geo["nodes"], dtype=np.float64)
@@ -341,7 +348,8 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
             disc = discs.get(fieldname) or next(iter(discs.values()))
             f = out.setdefault(
                 fieldname,
-                {"dirichlet": [], "neumann": [], "point_neumann": [], "body_force": []},
+                {"dirichlet": [], "neumann": [], "point_neumann": [],
+                 "body_force": [], "contact": []},
             )
             if key == "dirichlet":
                 f["dirichlet"].append(
@@ -369,6 +377,17 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                 )
             elif key == "body_force":
                 f["body_force"].append(BodyForce(val=item["val"], funct=item.get("funct")))
+            elif key == "contact":
+                from fourc_tpu.contact.penalty import ContactCondition
+
+                f["contact"].append(
+                    ContactCondition(
+                        slave_nodes=_resolve_nodes(disc, item["slave"]),
+                        master_faces=_resolve_faces(disc, item["master"]),
+                        penalty=float(item.get("penalty", 1e5)),
+                        n_candidates=int(item.get("candidates", 4)),
+                    )
+                )
             else:
                 raise ValueError(f"unknown condition kind {key!r}")
     return out

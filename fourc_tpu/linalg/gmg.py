@@ -219,19 +219,34 @@ class _Level:
             out = out + self.mass_coeff * self.mlump * vm
         return jnp.where(self.free, out, v)
 
-    def setup_chebyshev(self, degree):
-        """Eagerly estimate lambda_max(D^-1 A) by power iteration."""
+    def setup_chebyshev(self, degree, power_iters=0):
+        """Chebyshev bounds for D^-1 A.
+
+        Default: the analytic Jacobi-scaled FEM bound lambda_max <~ 2 (with
+        margin) — one less compiled program per level, which matters on the
+        remote-compile TPU path.  power_iters > 0 runs one jitted power
+        iteration for a sharp estimate.
+        """
         self.degree = degree
+        if power_iters <= 0:
+            self.lmax = 2.5
+            self.lmin = self.lmax / 30.0
+            return
         n = self.free.shape[0]
         key = jax.random.PRNGKey(0)
-        x = jnp.where(self.free, jax.random.normal(key, (n,), self.dinv.dtype), 0.0)
-        lmax = 1.0
-        for _ in range(12):
-            y = self.dinv * self.matvec(x)
-            y = jnp.where(self.free, y, 0.0)
-            lmax = jnp.linalg.norm(y) / jnp.maximum(jnp.linalg.norm(x), 1e-30)
-            x = y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
-        self.lmax = float(lmax) * 1.05
+        x0 = jnp.where(self.free, jax.random.normal(key, (n,), self.dinv.dtype), 0.0)
+
+        def power(x):
+            def body(i, carry):
+                x, _ = carry
+                y = jnp.where(self.free, self.dinv * self.matvec(x), 0.0)
+                lm = jnp.linalg.norm(y) / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+                return (y / jnp.maximum(jnp.linalg.norm(y), 1e-30), lm)
+
+            return jax.lax.fori_loop(0, power_iters, body,
+                                     (x, jnp.asarray(1.0, x.dtype)))[1]
+
+        self.lmax = float(jax.jit(power)(x0)) * 1.05
         self.lmin = self.lmax / 30.0
 
     def chebyshev(self, b, x):

@@ -171,6 +171,7 @@ def newton_params_from(dyn: dict, solver: dict) -> NewtonParams:
     return NewtonParams(
         max_iter=dyn["maxiter"],
         tol_res=dyn["tolres"],
+        tol_res_rel=dyn.get("tolres_rel", 0.0),
         tol_disp=dyn["toldisp"],
         combine=dyn["normcombi"],
         lin_method=solver["method"] if solver["method"] != "direct" else "gmres",

@@ -31,6 +31,7 @@ class NewtonParams:
     max_iter: int = 20
     tol_res: float = 1e-8  # absolute residual norm (2-norm), ref NORM_RESF
     tol_disp: float = 1e-8  # absolute increment norm, ref NORM_DISP
+    tol_res_rel: float = 0.0  # relative to ||r0|| (ref NORM_RESF Rel); 0=off
     combine: str = "and"  # ref NORMCOMBI_RESFDISP
     lin_method: str = "cg"
     lin_maxiter: int = 500
@@ -77,7 +78,7 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
 
     def cond(state):
         u, r, rnorm, dnorm, k, lin_tot, ok = state
-        unconv = jnp.logical_not(_converged(rnorm, dnorm, params))
+        unconv = jnp.logical_not(_converged(rnorm, dnorm, params, rnorm0))
         return jnp.logical_and(k < params.max_iter, unconv)
 
     def body(state):
@@ -138,13 +139,16 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
         "resnorm": rnorm,
         "dispnorm": dnorm,
         "lin_iters": lin_tot,
-        "converged": _converged(rnorm, dnorm, params),
+        "converged": _converged(rnorm, dnorm, params, rnorm0),
     }
     return u, stats
 
 
-def _converged(rnorm, dnorm, params: NewtonParams):
-    cr = rnorm <= params.tol_res
+def _converged(rnorm, dnorm, params: NewtonParams, rnorm0=None):
+    tol = params.tol_res
+    if params.tol_res_rel and rnorm0 is not None:
+        tol = jnp.maximum(tol, params.tol_res_rel * rnorm0)
+    cr = rnorm <= tol
     cd = dnorm <= params.tol_disp
     if params.combine == "and":
         return jnp.logical_and(cr, cd)

@@ -90,6 +90,7 @@ class SolidField:
         neumann=(),
         point_neumann=(),
         body_forces=(),
+        contact=(),
         functions: FunctionManager | None = None,
     ):
         self.disc = disc
@@ -138,6 +139,12 @@ class SolidField:
             key: float(getattr(m, "density", 0.0) or 0.0) for key, m in self.block_mat.items()
         }
 
+        self.contact = None
+        if contact:
+            from fourc_tpu.contact.penalty import PenaltyContact
+
+            self.contact = PenaltyContact(list(contact), disc.coords, self.ndpn)
+
     # -- forces -------------------------------------------------------------
 
     def internal_force(self, u, history=None, dt=None, temps=None):
@@ -157,6 +164,12 @@ class SolidField:
             if hn is not None:
                 new_hist[key] = hn
         f = dm.scatter_add(per_block)
+        if self.contact is not None:
+            # contact enters the residual like an internal force: at
+            # equilibrium fint = fext + F_contact (ref: contact forces in the
+            # structural model evaluator, 4C_contact_penalty_strategy.*)
+            x = self.coords + u.reshape(-1, self.ndpn)
+            f = f - self.contact.force(x).reshape(-1)
         return f, (new_hist if new_hist else None)
 
     def _cell(self, key):

@@ -47,6 +47,7 @@ def build_field(deck, disc_name="structure"):
         neumann=conds.get("neumann", ()),
         point_neumann=conds.get("point_neumann", ()),
         body_forces=conds.get("body_force", ()),
+        contact=conds.get("contact", ()),
         functions=deck.functions,
     )
     return f
