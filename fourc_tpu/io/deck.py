@@ -168,6 +168,18 @@ DECK_SPEC = {
     "scatra_dynamic": _dyn_spec("onesteptheta", ("stationary", "onesteptheta", "bdf2", "genalpha")),
     "thermal_dynamic": _dyn_spec("statics", ("statics", "onesteptheta", "genalpha")),
     "fluid_dynamic": _dyn_spec("onesteptheta", ("stationary", "onesteptheta", "bdf2", "genalpha")),
+    "fsi_dynamic": group(
+        {
+            "coupling": param(str, "dirichletneumann",
+                              choices=("dirichletneumann",)),
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "itemax": param(int, 30, doc="outer fixed-point iterations"),
+            "convtol": param(float, 1e-8, doc="interface increment tol"),
+            "omega": param(float, 0.5, doc="initial Aitken relaxation"),
+        },
+        doc="FSI DYNAMIC (partitioned Dirichlet-Neumann w/ Aitken)",
+    ),
     "tsi_dynamic": group(
         {
             "coupling": param(str, "monolithic", choices=("oneway", "partitioned", "monolithic")),
@@ -340,6 +352,9 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
     """conditions section -> {field_name: {kind: [BC objects]}}."""
     out = {}
     for key, items in conds.items():
+        if key == "fsi_interface":
+            out.setdefault("__global__", {})["fsi_interface"] = list(items)
+            continue
         for item in items:
             item = dict(item)
             fieldname = item.pop("field", None) or next(iter(discs))

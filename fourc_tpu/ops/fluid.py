@@ -71,11 +71,16 @@ def residual(
     pspg: bool = True,
     graddiv: bool = True,
     newton_convective: bool = True,
+    grid_vel=None,
 ):
     """Element residual: (f_mom (e, nen, d), f_cont (e, nen)).
 
-    Xe: (e, nen, d); ue/udote: (e, nen, d); pe: (e, nen).
+    Xe: (e, nen, d) CURRENT coordinates (caller adds ALE mesh displacement);
+    ue/udote: (e, nen, d); pe: (e, nen).
     body_gp: (e, g, d) body acceleration or None.
+    grid_vel: (e, nen, d) ALE mesh velocity or None — the convective
+    velocity becomes c = u - u_grid (ref: fluid ALE variants,
+    4C_fluid_timint_ale.*).
     """
     G, detJ = gm.iso_gradients(Xe, cell.dN)  # (e,g,a,d)
     wdet = gm.weighted(detJ, cell.gauss_weights)
@@ -84,12 +89,15 @@ def residual(
 
     u = jnp.einsum("ga,eai->egi", N, ue)  # (e,g,d)
     udot = jnp.einsum("ga,eai->egi", N, udote)
+    c = u
+    if grid_vel is not None:
+        c = u - jnp.einsum("ga,eai->egi", N, grid_vel)
     gradu = gm.grad_field(ue, G)  # (e,g,i,j) = du_i/dxj
     divu = jnp.einsum("egii->eg", gradu)
     p = jnp.einsum("ga,ea->eg", N, pe)
     gradp = jnp.einsum("egad,ea->egd", G, pe)
 
-    conv = jnp.einsum("egj,egij->egi", u, gradu)  # (u.grad)u
+    conv = jnp.einsum("egj,egij->egi", c, gradu)  # (c.grad)u, c = u - u_grid
     R_M = rho * (udot + conv) + gradp
     if body_gp is not None:
         R_M = R_M - rho * body_gp
@@ -106,9 +114,9 @@ def residual(
     f_cont = jnp.einsum("eg,ga,eg->ea", wdet, N, divu)
 
     if supg or pspg or graddiv:
-        tau_m, tau_c = stab_params(u, mu, rho, G, wdet, dim, dt)
+        tau_m, tau_c = stab_params(c, mu, rho, G, wdet, dim, dt)
     if supg:
-        ugw = jnp.einsum("egd,egad->ega", u, G)  # (u . grad) w_a
+        ugw = jnp.einsum("egd,egad->ega", c, G)  # (c . grad) w_a
         f_mom = f_mom + rho * jnp.einsum("eg,eg,ega,egi->eai", wdet, tau_m, ugw, R_M)
     if graddiv:
         f_mom = f_mom + jnp.einsum("eg,eg,egai,eg->eai", wdet, tau_c, G, rho * divu)

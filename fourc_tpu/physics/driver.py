@@ -66,6 +66,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import tsi_driver
 
         return tsi_driver.run(deck, callbacks=callbacks)
+    if ptype == "fsi":
+        from fourc_tpu.physics import fsi_driver
+
+        return fsi_driver.run(deck, callbacks=callbacks)
     raise NotImplementedError(f"problem type {ptype!r} not implemented yet")
 
 

@@ -112,23 +112,37 @@ class FluidField:
             out = out + jnp.stack(comps, axis=-1)
         return out
 
-    def residual_transient(self, x, xdot, t, dt=None):
-        """Global stabilized N-S residual; x = interleaved [u, p] per node."""
+    def residual_transient(self, x, xdot, t, dt=None, mesh_disp=None,
+                           mesh_vel=None):
+        """Global stabilized N-S residual; x = interleaved [u, p] per node.
+
+        mesh_disp/mesh_vel: (n_nodes, dim) ALE mesh motion (or None) — the
+        residual is evaluated on the deformed mesh with convective velocity
+        u - u_grid (ref: 4C_fluid_implicit_integration ALE path).
+        """
         dm = self.dofmap
         p = self.params
         per_block = {}
         for key in dm.blocks:
             cell = self._cell(key)
             m = self.block_mat[key]
+            conn = dm.blocks[key].conn
             xe = dm.gather(x, key)  # (e, nen, ndpn)
             xde = dm.gather(xdot, key)
             ue, pe = xe[..., : self.dim], xe[..., self.dim]
             udote = xde[..., : self.dim]
+            Xe = self.block_X[key]
+            gv = None
+            if mesh_disp is not None:
+                Xe = Xe + mesh_disp[conn]
+            if mesh_vel is not None:
+                gv = mesh_vel[conn]
             f_mom, f_cont = ops.residual(
-                self.block_X[key], ue, pe, udote, cell,
+                Xe, ue, pe, udote, cell,
                 mu=float(m.visc()), rho=float(m.density),
                 body_gp=self.body_at_gps(key, t), dt=dt,
                 supg=p.supg, pspg=p.pspg, graddiv=p.graddiv,
+                grid_vel=gv,
             )
             fe = jnp.concatenate([f_mom, f_cont[..., None]], axis=-1)
             per_block[key] = fe.reshape(fe.shape[0], -1)

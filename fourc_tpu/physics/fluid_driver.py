@@ -13,7 +13,7 @@ from fourc_tpu.physics import fluid as pf
 from fourc_tpu.utils.timer import Timers
 
 
-def build_field(deck, disc_name="fluid") -> pf.FluidField:
+def build_field(deck, disc_name="fluid", extra_dirichlet=()) -> pf.FluidField:
     cond_name = disc_name
     if disc_name not in deck.disc and len(deck.disc) == 1:
         disc_name = next(iter(deck.disc))
@@ -41,7 +41,7 @@ def build_field(deck, disc_name="fluid") -> pf.FluidField:
         disc,
         materials,
         params,
-        dirichlet=conds.get("dirichlet", ()),
+        dirichlet=list(conds.get("dirichlet", ())) + list(extra_dirichlet),
         neumann=conds.get("neumann", ()),
         body_forces=conds.get("body_force", ()),
         functions=deck.functions,
