@@ -66,18 +66,27 @@ def box(
 ) -> Discretization:
     """nx×ny×nz-element rectangular cuboid."""
     order = 2 if cell in ("hex27", "hex20") else 1
-    coords, nid, shape = _hex_grid_nodes(nx, ny, nz, lo, hi, order)
 
-    conns = []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                if cell in ("hex8", "tet4", "wedge6"):
-                    c = [nid(i + di, j + dj, k + dk) for di, dj, dk in _HEX8_LOCAL]
-                else:  # quadratic
-                    c = [nid(2 * i + di, 2 * j + dj, 2 * k + dk) for di, dj, dk in _HEX27_LOCAL]
-                conns.append(c)
-    conns = np.asarray(conns, dtype=np.int32)
+    conns = None
+    if order == 1:
+        from fourc_tpu.core import native
+
+        nat = native.hex_box(nx, ny, nz, lo, hi)
+        if nat is not None:
+            coords, conns = nat
+    if conns is None:
+        coords, nid, shape = _hex_grid_nodes(nx, ny, nz, lo, hi, order)
+        cl = []
+        for i in range(nx):
+            for j in range(ny):
+                for k in range(nz):
+                    if cell in ("hex8", "tet4", "wedge6"):
+                        c = [nid(i + di, j + dj, k + dk) for di, dj, dk in _HEX8_LOCAL]
+                    else:  # quadratic
+                        c = [nid(2 * i + di, 2 * j + dj, 2 * k + dk)
+                             for di, dj, dk in _HEX27_LOCAL]
+                    cl.append(c)
+        conns = np.asarray(cl, dtype=np.int32)
 
     disc = Discretization(name=name, coords=coords)
     if cell == "hex8":

@@ -211,14 +211,21 @@ class DofMap:
             edof = (conn[:, :, None] * ndpn + np.arange(ndpn)[None, None, :]).reshape(
                 conn.shape[0], -1
             )
-            flat = edof.reshape(-1)
-            perm = np.argsort(flat, kind="stable").astype(np.int32)
+            flat = edof.reshape(-1).astype(np.int32)
+            from fourc_tpu.core import native
+
+            nat = native.build_dof_perm(flat, ndof)
+            if nat is not None:
+                perm, sorted_dof = nat
+            else:
+                perm = np.argsort(flat, kind="stable").astype(np.int32)
+                sorted_dof = flat[perm]
             out[key] = BlockAssembly(
                 cell=blk.cell,
                 conn=jnp.asarray(conn),
                 edof=jnp.asarray(edof.astype(np.int32)),
                 perm=jnp.asarray(perm),
-                sorted_dof=jnp.asarray(flat[perm].astype(np.int32)),
+                sorted_dof=jnp.asarray(sorted_dof),
                 mat_id=jnp.asarray(blk.mat_id),
                 structured=_detect_structured(disc, key, blk),
             )

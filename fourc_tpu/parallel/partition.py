@@ -24,6 +24,11 @@ def rcb_order(points: np.ndarray, n_parts: int) -> np.ndarray:
 
     points: (n, dim). n_parts must be a power of two (pad up otherwise).
     """
+    from fourc_tpu.core import native
+
+    nat = native.rcb_order(points, n_parts)
+    if nat is not None:
+        return nat
     n = points.shape[0]
     idx = np.arange(n)
     parts = [idx]

@@ -78,7 +78,7 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
 
     def cond(state):
         u, r, rnorm, dnorm, k, lin_tot, ok = state
-        unconv = jnp.logical_not(_converged(rnorm, dnorm, params, rnorm0))
+        unconv = jnp.logical_not(_converged(rnorm, dnorm, params, rnorm0, k))
         return jnp.logical_and(k < params.max_iter, unconv)
 
     def body(state):
@@ -130,8 +130,6 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
             ok,
         )
 
-    # initial increment norm 0: an already-converged residual exits before
-    # the first Krylov solve (NOX convention: first status test is on F only)
     init = (u0, r0, rnorm0, jnp.asarray(0.0, u0.dtype), 0, 0, jnp.asarray(True))
     u, r, rnorm, dnorm, k, lin_tot, _ = jax.lax.while_loop(cond, body, init)
     stats = {
@@ -139,17 +137,23 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
         "resnorm": rnorm,
         "dispnorm": dnorm,
         "lin_iters": lin_tot,
-        "converged": _converged(rnorm, dnorm, params, rnorm0),
+        "converged": _converged(rnorm, dnorm, params, rnorm0, k),
     }
     return u, stats
 
 
-def _converged(rnorm, dnorm, params: NewtonParams, rnorm0=None):
+def _converged(rnorm, dnorm, params: NewtonParams, rnorm0=None, k=0):
+    """Status test. Before the first increment exists (k == 0), only the
+    residual is checked (NOX convention) — the increment norm has no
+    meaning yet and must neither block an already-converged entry ('and')
+    nor fake convergence ('or')."""
     tol = params.tol_res
     if params.tol_res_rel and rnorm0 is not None:
         tol = jnp.maximum(tol, params.tol_res_rel * rnorm0)
     cr = rnorm <= tol
     cd = dnorm <= params.tol_disp
     if params.combine == "and":
-        return jnp.logical_and(cr, cd)
-    return jnp.logical_or(cr, cd)
+        full = jnp.logical_and(cr, cd)
+    else:
+        full = jnp.logical_or(cr, cd)
+    return jnp.where(jnp.asarray(k) == 0, cr, full)
