@@ -118,6 +118,22 @@ def box(
     return disc
 
 
+def line(n: int, p0=(0.0, 0.0, 0.0), p1=(1.0, 0.0, 0.0), name: str = "structure",
+         mat_id: int = 1) -> Discretization:
+    """n line2 elements from p0 to p1 (beam/truss meshes)."""
+    p0 = np.asarray(p0, float)
+    p1 = np.asarray(p1, float)
+    ts = np.linspace(0.0, 1.0, n + 1)[:, None]
+    coords = p0[None, :] + ts * (p1 - p0)[None, :]
+    conn = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1).astype(np.int32)
+    disc = Discretization(name=name, coords=coords)
+    disc.blocks["line2"] = ElementBlock("line2", conn, mat_id)
+    disc.node_sets["start"] = np.array([0], np.int32)
+    disc.node_sets["end"] = np.array([n], np.int32)
+    disc.node_sets["all"] = np.arange(n + 1, dtype=np.int32)
+    return disc
+
+
 def rectangle(
     nx: int,
     ny: int,

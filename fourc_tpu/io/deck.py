@@ -297,6 +297,11 @@ def _build_geometry(geo: dict, cfg) -> dict:
                     lo=tuple(g.pop("lo", (0, 0, 0))), hi=tuple(g.pop("hi", (1, 1, 1))),
                     cell=g.pop("cell", "hex8"), name=name, mat_id=mat,
                 )
+            elif kind == "line":
+                d = gridgen.line(
+                    int(g.pop("n")), p0=tuple(g.pop("p0", (0, 0, 0))),
+                    p1=tuple(g.pop("p1", (1, 0, 0))), name=name, mat_id=mat,
+                )
             elif kind == "rectangle":
                 d = gridgen.rectangle(
                     int(g.pop("nx")), int(g.pop("ny")),

@@ -280,7 +280,8 @@ def build_for_solid(field, mass_shift=0.0, dtype=None):
     disc = field.disc
     blocks = list(field.dofmap.blocks.values())
     if (getattr(disc, "structured_shape", None) is None or len(blocks) != 1
-            or blocks[0].structured is None):
+            or blocks[0].structured is None
+            or not hasattr(field, "block_mat")):
         return None
     mat = next(iter(field.block_mat.values()))
     youngs = getattr(mat, "youngs", None)

@@ -130,6 +130,35 @@ class SmallStrainMaterial(Material):
                         in_axes=-1, out_axes=-1)(eps)
 
 
+class BeamSection(Material):
+    """Beam cross-section + elastic constants.
+
+    Counterpart of the reference's beam constitutive input (ref:
+    src/mat/4C_mat_beam_elasthyper.* — MAT_BeamReissnerElastHyper with
+    YOUNG/SHEARMOD/DENS/CROSSAREA/SHEARCORR/MOMIN...).
+    """
+
+    kind = "beam"
+
+    def __init__(self, youngs, nue=0.3, density=0.0, area=1.0, iyy=1.0,
+                 izz=1.0, torsion_j=None, shear_area=0.0):
+        self.youngs = float(youngs)
+        self.nue = float(nue)
+        self.density = float(density)
+        self.area = float(area)
+        self.iyy = float(iyy)
+        self.izz = float(izz)
+        self.torsion_j = float(torsion_j if torsion_j is not None else iyy + izz)
+        self.shear_area = float(shear_area)  # 0 = Euler-Bernoulli
+
+    @classmethod
+    def from_deck(cls, params):
+        return cls(**params)
+
+
+register_material("beam_elastic")(BeamSection)
+
+
 class HistoryMaterial(Material):
     """Finite/small-strain material with per-GP internal variables.
 

@@ -1,0 +1,126 @@
+"""Beam field: 6-dof-per-node structural dynamics on line2 elements.
+
+Counterpart of the reference's beam time integration (beams run through the
+same structure_new integrators; ref: src/beam3 + structure_new).  Statics,
+gen-alpha and one-step-theta reuse the Newton-Krylov machinery; forces are
+batched K·u products (ops/beam.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourc_tpu.core.conditions import DirichletHandler
+from fourc_tpu.core.functions import FunctionManager
+from fourc_tpu.core.mesh import Discretization
+from fourc_tpu.ops import beam as ops
+from fourc_tpu.physics.newton import newton_solve
+from fourc_tpu.physics.solid import GenAlphaParams, SolidParams
+
+
+class BeamField:
+    """6 dofs/node: [u, theta]; materials must be beam sections."""
+
+    def __init__(self, disc: Discretization, materials: dict, params: SolidParams,
+                 dirichlet=(), point_neumann=(), functions=None):
+        self.disc = disc
+        self.params = params
+        self.functions = functions or FunctionManager()
+        self.ndpn = 6
+        self.dofmap = disc.dofmap(6)
+        self.ndof = self.dofmap.ndof
+        self.dbc = DirichletHandler(list(dirichlet), disc.coords, 6, self.functions)
+        self.point_neumann = list(point_neumann)
+        self.coords = jnp.asarray(disc.coords)
+
+        self.block_K = {}
+        self.block_M = {}
+        for key, blk in disc.blocks.items():
+            if blk.cell != "line2":
+                raise ValueError("BeamField supports line2 elements")
+            mat = materials[int(np.asarray(blk.mat_id)[0])]
+            Xe = np.asarray(disc.coords)[np.asarray(blk.conn)]
+            Kg, Ls = ops.build_element_matrices(Xe, mat)
+            self.block_K[key] = jnp.asarray(Kg)
+            self.block_M[key] = ops.lumped_mass(jnp.asarray(Ls), mat)
+
+    def internal_force(self, u, history=None, dt=None, temps=None):
+        dm = self.dofmap
+        per_block = {}
+        for key in dm.blocks:
+            ue = dm.gather(u, key).reshape(-1, 12)
+            per_block[key] = ops.internal_force(self.block_K[key], ue)
+        return dm.scatter_add(per_block), None
+
+    def external_force(self, t, u=None):
+        f = jnp.zeros((self.ndof,), self.coords.dtype)
+        for pb in self.point_neumann:
+            xyz = self.coords[jnp.asarray(pb.nodes)]
+            for k in range(min(6, len(pb.onoff))):
+                if pb.onoff[k]:
+                    fn = self.functions.get(pb.funct[k])
+                    vals = pb.val[k] * fn(xyz, t, component=0)
+                    f = f.at[jnp.asarray(pb.nodes) * 6 + k].add(vals)
+        return f
+
+    def lumped_mass(self):
+        dm = self.dofmap
+        per_block = {key: self.block_M[key] for key in dm.blocks}
+        return dm.scatter_add(per_block)
+
+    def mass_matvec(self, v):
+        if not hasattr(self, "_ml"):
+            self._ml = self.lumped_mass()
+        return self._ml * v
+
+    def build_preconditioner(self, u=None, history=None, dt=None, mass_shift=0.0):
+        from fourc_tpu.linalg.precond import jacobi
+
+        dm = self.dofmap
+        per_block = {}
+        for key in dm.blocks:
+            Kd = jnp.einsum("eii->ei", self.block_K[key])
+            if mass_shift:
+                Kd = Kd + mass_shift * self.block_M[key]
+            per_block[key] = Kd
+        diag = dm.scatter_add(per_block)
+        diag = jnp.where(self.dbc.free_mask, jnp.maximum(diag, 1e-30), 1.0)
+        return jacobi(diag)
+
+
+def init_state(f: BeamField):
+    want64 = jax.config.jax_enable_x64
+    z = jnp.zeros((f.ndof,), jnp.float64 if want64 else jnp.float32)
+    return {"d": z, "v": z, "a": z, "t": jnp.asarray(0.0, z.dtype),
+            "step": jnp.asarray(0), "fint": z, "fext": z, "hist": {}}
+
+
+def make_step(f: BeamField, dt: float | None = None):
+    """Statics / gen-alpha steps sharing the solid integrators' update rules."""
+    from fourc_tpu.physics import solid as ps
+
+    dt = float(dt if dt is not None else f.params.dt)
+    if f.params.dyntype == "statics":
+        def step(state):
+            t1 = state["t"] + dt
+
+            def residual(u):
+                return f.internal_force(u)[0] - f.external_force(t1, u)
+
+            u0 = f.dbc.apply(state["d"], t1)
+            M = f.build_preconditioner(u0)
+            u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
+            new = dict(state)
+            new.update(d=u, t=t1, step=state["step"] + 1)
+            return new, stats
+
+        return jax.jit(step)
+    if f.params.dyntype == "genalpha":
+        return jax.jit(ps._make_genalpha_step(f, dt))
+    if f.params.dyntype == "onesteptheta":
+        return jax.jit(ps._make_ost_step(f, dt))
+    raise ValueError(f"beam dyntype {f.params.dyntype!r} not supported yet")

@@ -39,6 +39,15 @@ def build_field(deck, disc_name="structure"):
     )
     materials = {mid: make_material(spec) for mid, spec in deck.materials.items()}
     conds = deck.conditions.get(disc_name, {})
+    if all(b.cell == "line2" for b in disc.blocks.values()):
+        from fourc_tpu.physics.beam import BeamField
+
+        return BeamField(
+            disc, materials, params,
+            dirichlet=conds.get("dirichlet", ()),
+            point_neumann=conds.get("point_neumann", ()),
+            functions=deck.functions,
+        )
     f = ps.SolidField(
         disc,
         materials,
@@ -54,10 +63,17 @@ def build_field(deck, disc_name="structure"):
 
 
 def run(deck, callbacks=None) -> drv.RunResult:
+    from fourc_tpu.physics import beam as pb
+
     timers = Timers()
     with timers("setup"):
         f = build_field(deck)
-        state = ps.compute_initial_state(f, ps.init_state(f))
+        if isinstance(f, pb.BeamField):
+            state = ps.compute_initial_state(f, pb.init_state(f))
+            mkstep = lambda dt: pb.make_step(f, dt)  # noqa: E731
+        else:
+            state = ps.compute_initial_state(f, ps.init_state(f))
+            mkstep = lambda dt: ps.make_step(f, dt)  # noqa: E731
     dyn = deck.sections["structural_dynamic"]
     n_steps = dyn["numstep"]
     if dyn["maxtime"] is not None:
@@ -72,7 +88,7 @@ def run(deck, callbacks=None) -> drv.RunResult:
     state, n_steps, out_cbs = drv.setup_restart(deck, "structure", state, n_steps, out_cbs)
 
     state, agg = drv.time_loop(
-        "structure", state, lambda dt: ps.make_step(f, dt), dyn["timestep"],
+        "structure", state, mkstep, dyn["timestep"],
         n_steps, divercont=dyn["divercont"], max_levels=dyn["maxdivconrefinementlevel"],
         callbacks=out_cbs, timers=timers,
     )
@@ -88,8 +104,9 @@ class SolidFieldView:
     (the analog of Solid::ResultTest,
     ref: structure_new/src/utils/4C_structure_new_resulttest.cpp:179)."""
 
-    _VEC = {"disp": "d", "vel": "v", "acc": "a"}
+    _VEC = {"disp": "d", "vel": "v", "acc": "a", "rot": "d"}
     _COMP = {"x": 0, "y": 1, "z": 2}
+    _ROT_OFFSET = 3  # rotation dofs for beams (6 dofs/node)
 
     def __init__(self, f):
         self.f = f
@@ -99,6 +116,8 @@ class SolidFieldView:
         if q[:-1] in self._VEC:
             key = self._VEC[q[:-1]]
             comp = self._COMP[q[-1]]
+            if q.startswith("rot"):
+                comp += self._ROT_OFFSET
             return float(np.asarray(state[key]).reshape(-1, self.f.ndpn)[node, comp])
         if q.startswith("stress_"):
             # stress_xx / stress_xy ...
