@@ -26,6 +26,12 @@ def main(argv=None):
     p.add_argument("--parameters", action="store_true",
                    help="print the full deck schema and exit (ref: 4C --parameters)")
     p.add_argument("--timers", action="store_true", help="print phase-timer table")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR "
+                        "(TensorBoard-viewable; the TimeMonitor analog)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on NaN/Inf in any computation (the analog of "
+                        "the reference's FPE trapping, feenableexcept)")
     args = p.parse_args(argv)
 
     if args.parameters:
@@ -42,6 +48,8 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from fourc_tpu.io import deck as deck_mod
     from fourc_tpu.io.result_test import run_result_tests
@@ -56,7 +64,11 @@ def main(argv=None):
           f"discretizations={ {k: (v.n_nodes, v.n_elements) for k, v in deck.disc.items()} }, "
           f"devices={jax.devices()}")
 
-    result = driver.run(deck)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            result = driver.run(deck)
+    else:
+        result = driver.run(deck)
 
     if args.timers and result.timers:
         print(result.timers.summary())

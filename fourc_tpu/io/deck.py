@@ -214,6 +214,7 @@ DECK_SPEC = {
             "write_stress": param(bool, False),
             "restart_interval": param(int, 0, doc="checkpoint every N steps (0=off)"),
             "verbosity": param(str, "standard", choices=("minimal", "standard", "verbose", "debug")),
+            "monitor": None,  # {file, nodes: [...], quantities: [...]} time histories
         },
         doc="IO section",
     ),

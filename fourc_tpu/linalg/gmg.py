@@ -212,8 +212,10 @@ class _Level:
     def matvec(self, v):
         vm = jnp.where(self.free, v, 0.0)
         ve = self._gather(vm)
+        # einsum impl: the level operator appears ~10x per step HLO (cheb
+        # smoothers x levels); the compact form keeps TPU compile sane
         fe, _ = self._sops.internal_force(self.Xe, ve, self.cell, self.mat,
-                                          kinem="linear")
+                                          kinem="linear", impl="einsum")
         out = self._scatter(fe.reshape(fe.shape[0], -1))
         if self.mlump is not None:
             out = out + self.mass_coeff * self.mlump * vm

@@ -36,7 +36,7 @@ from fourc_tpu.ops import common as gm
 
 
 def internal_force(Xe, ue, cell: CellType, material, kinem: str = "nonlinear",
-                   history=None, dt=None, temps=None):
+                   history=None, dt=None, temps=None, impl: str = "auto"):
     """Internal force for one element block.
 
     Xe: (E, nen, 3) reference coords; ue: (E, nen, 3) displacements.
@@ -52,8 +52,10 @@ def internal_force(Xe, ue, cell: CellType, material, kinem: str = "nonlinear",
     """
     E, nen, d = Xe.shape
     # unrolled path: big win on TPU (VPU fusion), but its ~5k-op HLO makes
-    # the CPU backend's compile 4-40x slower — keep einsum there (tests)
-    if d == 3 and nen * cell.ngp <= 128 and jax.default_backend() != "cpu":
+    # compiles much slower — CPU (tests) and compile-sensitive callers
+    # (GMG level operators appear many times per step HLO) use einsum
+    if (impl != "einsum" and d == 3 and nen * cell.ngp <= 128
+            and jax.default_backend() != "cpu"):
         return _internal_force_unrolled(Xe, ue, cell, material, kinem=kinem,
                                         history=history, dt=dt, temps=temps)
     return _internal_force_einsum(Xe, ue, cell, material, kinem=kinem,

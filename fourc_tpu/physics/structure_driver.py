@@ -85,6 +85,16 @@ def run(deck, callbacks=None) -> drv.RunResult:
         from fourc_tpu.io.vtu import VtuWriterCallback
 
         out_cbs.append(VtuWriterCallback(f, io_cfg))
+    if io_cfg.get("monitor"):
+        from fourc_tpu.io.monitor import CsvMonitorCallback
+
+        mcfg = dict(io_cfg["monitor"])
+        out_cbs.append(CsvMonitorCallback(
+            SolidFieldView(f),
+            mcfg.get("file", io_cfg["output_dir"] + "/monitor.csv"),
+            nodes=mcfg.get("nodes", ()),
+            quantities=mcfg.get("quantities", ("dispx",)),
+        ))
     state, n_steps, out_cbs = drv.setup_restart(deck, "structure", state, n_steps, out_cbs)
 
     state, agg = drv.time_loop(
