@@ -398,6 +398,13 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                 )
             elif key == "body_force":
                 f["body_force"].append(BodyForce(val=item["val"], funct=item.get("funct")))
+            elif key == "meshtying":
+                f.setdefault("meshtying", []).append(
+                    {
+                        "slave_nodes": _resolve_nodes(disc, item["slave"]),
+                        "master_nodes": _resolve_nodes(disc, item["master"]),
+                    }
+                )
             elif key == "contact":
                 from fourc_tpu.contact.penalty import ContactCondition
 

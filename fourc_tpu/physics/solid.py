@@ -91,6 +91,7 @@ class SolidField:
         point_neumann=(),
         body_forces=(),
         contact=(),
+        meshtying=(),
         functions: FunctionManager | None = None,
     ):
         self.disc = disc
@@ -144,6 +145,27 @@ class SolidField:
             from fourc_tpu.contact.penalty import PenaltyContact
 
             self.contact = PenaltyContact(list(contact), disc.coords, self.ndpn)
+
+        self.ties = None
+        if meshtying:
+            from fourc_tpu.coupling.meshtying import TiedDofs, match_pairs
+
+            pairs = np.concatenate(
+                [match_pairs(disc.coords, mt["slave_nodes"], mt["master_nodes"])
+                 for mt in meshtying], axis=0,
+            )
+            self.ties = TiedDofs(pairs, self.ndpn, disc.n_nodes)
+            # tied slave dofs behave like constrained dofs for the solver
+            self.dbc.free_mask = jnp.logical_and(
+                self.dbc.free_mask, jnp.logical_not(self.ties.slave_mask)
+            )
+
+    def _residual_xform(self, residual_fn):
+        """Apply mesh-tying condensation to a residual function (no-op
+        without ties)."""
+        if self.ties is None:
+            return residual_fn, lambda u: u
+        return self.ties.wrap_residual(residual_fn), self.ties.spread
 
     # -- forces -------------------------------------------------------------
 
@@ -454,7 +476,9 @@ def _make_statics_step(f: SolidField, dt: float):
 
         u0 = f.dbc.apply(state["d"], t1)  # predictor: constdis + DBC at t_{n+1}
         M = M_gmg if M_gmg is not None else f.build_preconditioner(u0, history=hist, dt=dt)
-        u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
+        res_fn, spread = f._residual_xform(residual)
+        u, stats = newton_solve(res_fn, u0, f.dbc.free_mask, M, f.params.newton)
+        u = spread(u)
 
         fint_new, hist_new = f.internal_force(u, history=hist, dt=dt)
         new_state = dict(state)
@@ -509,7 +533,9 @@ def _make_genalpha_step(f: SolidField, dt: float):
         u0 = f.dbc.apply(d_n, t1)  # constdis predictor
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u0, history=hist, dt=dt, mass_shift=(1 - am) / (beta * dt * dt))
-        u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
+        res_fn, spread = f._residual_xform(residual)
+        u, stats = newton_solve(res_fn, u0, f.dbc.free_mask, M, f.params.newton)
+        u = spread(u)
 
         v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
         fint_new, hist_new = f.internal_force(u, history=hist, dt=dt)
@@ -547,7 +573,9 @@ def _make_ost_step(f: SolidField, dt: float):
         u0 = f.dbc.apply(d_n, t1)
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u0, history=hist, dt=dt, mass_shift=1.0 / (th * dt * dt))
-        u, stats = newton_solve(residual, u0, f.dbc.free_mask, M, f.params.newton)
+        res_fn, spread = f._residual_xform(residual)
+        u, stats = newton_solve(res_fn, u0, f.dbc.free_mask, M, f.params.newton)
+        u = spread(u)
 
         v1 = (u - d_n) / (th * dt) - (1 - th) / th * v_n
         a1 = (v1 - v_n) / (th * dt) - (1 - th) / th * a_n

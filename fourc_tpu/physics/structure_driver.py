@@ -57,6 +57,7 @@ def build_field(deck, disc_name="structure"):
         point_neumann=conds.get("point_neumann", ()),
         body_forces=conds.get("body_force", ()),
         contact=conds.get("contact", ()),
+        meshtying=conds.get("meshtying", ()),
         functions=deck.functions,
     )
     return f
