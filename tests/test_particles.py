@@ -1,0 +1,73 @@
+"""Particle (DEM/SPH) tests vs conservation laws and closed forms."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from fourc_tpu.particles import engine as pe
+
+
+def test_dem_two_ball_elastic_collision():
+    """Head-on equal-mass elastic collision swaps velocities (no damping);
+    momentum conserved to machine precision, energy approximately."""
+    radii = jnp.asarray([0.1, 0.1])
+    masses = jnp.asarray([1.0, 1.0])
+    params = pe.DemParams(k_normal=1e5)
+    step = pe.make_dem_stepper(params, radii, masses, n_sub=200)
+    state = pe.init_state([[0.0, 0, 0], [0.5, 0, 0]], [[1.0, 0, 0], [0.0, 0, 0]])
+    dt = 1e-4
+    for _ in range(40):
+        state = step(state, dt)
+    v = np.asarray(state["v"])
+    p_total = (np.asarray(masses)[:, None] * v).sum(axis=0)
+    assert p_total[0] == pytest.approx(1.0, abs=1e-10)  # momentum
+    assert v[0, 0] == pytest.approx(0.0, abs=0.02)  # velocity swap
+    assert v[1, 0] == pytest.approx(1.0, abs=0.02)
+    e = 0.5 * (np.asarray(masses) * (v**2).sum(axis=1)).sum()
+    assert e == pytest.approx(0.5, rel=0.02)  # elastic
+
+
+def test_dem_ball_settles_on_floor():
+    """Static equilibrium on a plane: overlap = m g / k."""
+    radii = jnp.asarray([0.1])
+    masses = jnp.asarray([2.0])
+    g = 10.0
+    k = 1e4
+    params = pe.DemParams(k_normal=k, damp_normal=20.0, gravity=(0, 0, -g))
+    step = pe.make_dem_stepper(params, radii, masses,
+                               walls=[((0, 0, 0.0), (0, 0, 1.0))], n_sub=100)
+    state = pe.init_state([[0.0, 0.0, 0.12]])
+    for _ in range(100):
+        state = step(state, 1e-3)
+    z = float(state["x"][0, 2])
+    overlap = 0.1 - z
+    assert overlap == pytest.approx(masses[0] * g / k, rel=1e-3)
+    assert abs(float(state["v"][0, 2])) < 1e-6
+
+
+def test_sph_hydrostatic_density():
+    """A uniform lattice at rest has density ~ rho0 when mass = rho0 V."""
+    n = 6
+    dx = 0.05
+    xs = np.stack(np.meshgrid(*[np.arange(n) * dx] * 2, indexing="ij"), -1).reshape(-1, 2)
+    params = pe.SphParams(h=1.3 * dx, rho0=1000.0, c0=20.0, gravity=(0, 0))
+    masses = jnp.full(xs.shape[0], 1000.0 * dx * dx)
+    rho = np.asarray(pe.sph_density(jnp.asarray(xs), masses, params))
+    inner = rho[(xs[:, 0] > dx) & (xs[:, 0] < (n - 2) * dx)
+                & (xs[:, 1] > dx) & (xs[:, 1] < (n - 2) * dx)]
+    assert np.abs(inner / 1000.0 - 1.0).max() < 0.05
+
+
+def test_sph_momentum_conservation():
+    """Pairwise-symmetric forces conserve linear momentum exactly."""
+    xs = np.random.RandomState(0).uniform(0, 0.3, (20, 2))
+    params = pe.SphParams(h=0.08, rho0=1000.0, c0=20.0, gravity=(0, 0))
+    masses = jnp.full(20, 1.0)
+    v0 = np.random.RandomState(1).normal(0, 0.1, (20, 2))
+    step = pe.make_sph_stepper(params, masses, n_sub=20)
+    state = pe.init_state(xs, v0)
+    p0 = (np.asarray(masses)[:, None] * v0).sum(axis=0)
+    for _ in range(5):
+        state = step(state, 1e-4)
+    p1 = (np.asarray(masses)[:, None] * np.asarray(state["v"])).sum(axis=0)
+    assert np.abs(p1 - p0).max() < 1e-10
