@@ -38,10 +38,11 @@ def main():
         genalpha=ps.GenAlphaParams(rho_inf=0.9),
         precond=precond,
     )
-    # f32 on TPU: relative residual drop of 1e-5 (the f32 floor for this
-    # problem is ~1e-6 relative; BASELINE's 1e-8 abs maps to f64 semantics)
+    # f32 on TPU: relative residual drop of 1e-4 (the measured f32 residual
+    # floor for this problem is ~3e-5 relative; BASELINE's 1e-8 abs maps to
+    # f64 semantics and is reached when run with x64)
     params.newton.tol_res = 1e-8 if jax.config.jax_enable_x64 else 0.0
-    params.newton.tol_res_rel = 1e-5
+    params.newton.tol_res_rel = 1e-4
     params.newton.tol_disp = 1e-7 * ndof**0.5
     params.newton.combine = "or"
     params.newton.max_iter = 8

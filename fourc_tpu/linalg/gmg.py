@@ -165,6 +165,18 @@ class _Level:
             cols.append(lattice_coords[sl].reshape(Ecount, dim))
         self.Xe = jnp.asarray(np.stack(cols, axis=1), dtype)
 
+        # assembled per-element stiffness (E, m, m): level matvecs become
+        # MXU batched matmuls (~memory-bound) instead of re-evaluated
+        # kernels — the 'assembled operator' capability of the reference's
+        # SparseMatrix path, stored element-wise instead of CRS
+        nen = len(offsets)
+        m = nen * ndpn
+        ue0 = jnp.zeros((Ecount, nen, dim), dtype)
+        self.Ke = jax.jit(
+            lambda: sops.element_stiffness(self.Xe, ue0, cell, self.mat,
+                                           kinem="linear")
+        )()
+
         self.offsets = offsets
         self.mass_coeff = float(rho * mass_shift)
         if self.mass_coeff:
@@ -174,21 +186,16 @@ class _Level:
         else:
             self.mlump = None
 
-        # Jacobi diagonal of the linear-elastic operator: mu*grad-grad based
-        from fourc_tpu.ops import common as gm
-
-        Xt = jnp.transpose(self.Xe, (1, 2, 0))
-        G, detJ = gm.iso_gradients_el(Xt, cell.dN)
-        w = jnp.asarray(cell.gauss_weights, dtype)
-        wdet = detJ * w[:, None]
-        lamm, mum = lam, mu
-        gg = jnp.einsum("gE,gaiE,gaiE->Ea", wdet, G, G)
-        kdiag = (lamm + 2.0 * mum) * gg  # upper bound-ish per-component diag
-        diag = self._scatter(jnp.repeat(kdiag[..., None], ndpn, -1)
-                             .reshape(kdiag.shape[0], -1))
+        # exact Jacobi diagonal from the assembled element matrices
+        diag = self._scatter(jnp.einsum("eii->ei", self.Ke))
+        # Gershgorin bound for Chebyshev: lmax(D^-1 A) <= max_i sum_j|A_ij|/D_i
+        rowabs = self._scatter(jnp.sum(jnp.abs(self.Ke), axis=2))
         if self.mlump is not None:
             diag = diag + self.mass_coeff * self.mlump
+            rowabs = rowabs + self.mass_coeff * self.mlump
         self.dinv = jnp.where(self.free, 1.0 / jnp.maximum(diag, 1e-30), 1.0)
+        self.gersh_lmax = float(jnp.max(jnp.where(
+            self.free, rowabs / jnp.maximum(diag, 1e-30), 0.0)))
 
     def _gather(self, u):
         u3 = u.reshape(self.pshape + (self.ndpn,))
@@ -211,12 +218,10 @@ class _Level:
 
     def matvec(self, v):
         vm = jnp.where(self.free, v, 0.0)
-        ve = self._gather(vm)
-        # einsum impl: the level operator appears ~10x per step HLO (cheb
-        # smoothers x levels); the compact form keeps TPU compile sane
-        fe, _ = self._sops.internal_force(self.Xe, ve, self.cell, self.mat,
-                                          kinem="linear", impl="einsum")
-        out = self._scatter(fe.reshape(fe.shape[0], -1))
+        ve = self._gather(vm)  # (E, nen, ndpn)
+        E = ve.shape[0]
+        fe = jnp.einsum("eij,ej->ei", self.Ke, ve.reshape(E, -1))
+        out = self._scatter(fe)
         if self.mlump is not None:
             out = out + self.mass_coeff * self.mlump * vm
         return jnp.where(self.free, out, v)
@@ -231,7 +236,8 @@ class _Level:
         """
         self.degree = degree
         if power_iters <= 0:
-            self.lmax = 2.5
+            # rigorous Gershgorin upper bound (no extra compiled programs)
+            self.lmax = 1.02 * self.gersh_lmax
             self.lmin = self.lmax / 30.0
             return
         n = self.free.shape[0]

@@ -77,6 +77,10 @@ class BeamField:
             self._ml = self.lumped_mass()
         return self._ml * v
 
+    def _residual_xform(self, residual_fn):
+        """No mesh tying on beam fields yet (shared step-builder hook)."""
+        return residual_fn, lambda u: u
+
     def build_preconditioner(self, u=None, history=None, dt=None, mass_shift=0.0):
         from fourc_tpu.linalg.precond import jacobi
 
