@@ -46,6 +46,8 @@ def main():
     params.newton.tol_disp = 1e-7 * ndof**0.5
     params.newton.combine = "or"
     params.newton.max_iter = 8
+    params.newton.stag_tol = 0.5  # stop at the f32 roundoff floor
+    params.newton.stag_min_drop = 3e-3
     params.newton.lin_maxiter = 1000
     params.newton.lin_rtol = 1e-4
 

@@ -33,6 +33,12 @@ class NewtonParams:
     tol_disp: float = 1e-8  # absolute increment norm, ref NORM_DISP
     tol_res_rel: float = 0.0  # relative to ||r0|| (ref NORM_RESF Rel); 0=off
     combine: str = "and"  # ref NORMCOMBI_RESFDISP
+    # stagnation test (NOX stagnation-status-test analog): stop when the
+    # residual stops contracting (rnorm > stag_tol * previous) after >= 2
+    # iterations; counted as converged if it dropped by stag_min_drop.
+    # Essential on f32 TPUs where the roundoff floor is state-dependent.
+    stag_tol: float = 0.0  # 0 = off; typical 0.9
+    stag_min_drop: float = 1e-3
     lin_method: str = "cg"
     lin_maxiter: int = 500
     lin_rtol: float = 1e-4  # floor for the adaptive forcing term
@@ -76,13 +82,19 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
     r0 = masked_res(u0)
     rnorm0 = jnp.linalg.norm(r0)
 
+    def _stagnated(rnorm, rprev, k):
+        if not params.stag_tol:
+            return jnp.asarray(False)
+        return jnp.logical_and(jnp.asarray(k) >= 2, rnorm > params.stag_tol * rprev)
+
     def cond(state):
-        u, r, rnorm, dnorm, k, lin_tot, ok = state
+        u, r, rnorm, dnorm, k, lin_tot, rprev = state
         unconv = jnp.logical_not(_converged(rnorm, dnorm, params, rnorm0, k))
-        return jnp.logical_and(k < params.max_iter, unconv)
+        go = jnp.logical_and(k < params.max_iter, unconv)
+        return jnp.logical_and(go, jnp.logical_not(_stagnated(rnorm, rprev, k)))
 
     def body(state):
-        u, r, rnorm, dnorm, k, lin_tot, ok = state
+        u, r, rnorm, dnorm, k, lin_tot, rprev = state
         A = make_op(u)
         if params.lin_adaptive:
             eta = jnp.clip(jnp.sqrt(rnorm / jnp.maximum(rnorm0, 1e-300)), params.lin_rtol, 1e-1)
@@ -127,17 +139,27 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
             jnp.linalg.norm(du),
             k + 1,
             lin_tot + res.iters,
-            ok,
+            rnorm,
         )
 
-    init = (u0, r0, rnorm0, jnp.asarray(0.0, u0.dtype), 0, 0, jnp.asarray(True))
-    u, r, rnorm, dnorm, k, lin_tot, _ = jax.lax.while_loop(cond, body, init)
+    init = (u0, r0, rnorm0, jnp.asarray(0.0, u0.dtype), 0, 0,
+            jnp.asarray(jnp.inf, rnorm0.dtype))
+    u, r, rnorm, dnorm, k, lin_tot, rprev = jax.lax.while_loop(cond, body, init)
+    conv = _converged(rnorm, dnorm, params, rnorm0, k)
+    if params.stag_tol:
+        # stagnation at the roundoff floor counts as converged when the
+        # residual dropped by the required factor
+        stag_ok = jnp.logical_and(
+            _stagnated(rnorm, rprev, k),
+            rnorm <= params.stag_min_drop * jnp.maximum(rnorm0, 1e-300),
+        )
+        conv = jnp.logical_or(conv, stag_ok)
     stats = {
         "iters": k,
         "resnorm": rnorm,
         "dispnorm": dnorm,
         "lin_iters": lin_tot,
-        "converged": _converged(rnorm, dnorm, params, rnorm0, k),
+        "converged": conv,
     }
     return u, stats
 
