@@ -180,6 +180,16 @@ DECK_SPEC = {
         },
         doc="FSI DYNAMIC (partitioned Dirichlet-Neumann w/ Aitken)",
     ),
+    "ssi_dynamic": group(
+        {
+            "coupling": param(str, "monolithic", choices=("oneway", "partitioned", "monolithic")),
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "itemax_outer": param(int, 20),
+            "convtol_outer": param(float, 1e-8),
+        },
+        doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
     "tsi_dynamic": group(
         {
             "coupling": param(str, "monolithic", choices=("oneway", "partitioned", "monolithic")),

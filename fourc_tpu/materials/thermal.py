@@ -29,6 +29,62 @@ class FourierIso(Material):
         return -self.conductivity * gradT
 
 
+@register_material("scatra_stvenantkirchhoff")
+@dataclass
+class ScatraStVenantKirchhoff(HyperelasticMaterial):
+    """SVK + concentration swelling eigenstrain: S = C:(E - beta (c - c0) I).
+
+    The SSI analog of thermo-SVK (ref: src/ssi coupled materials /
+    MAT_MultiplicativeSplitDefgradElastHyper growth laws, reduced to linear
+    isotropic swelling for round 1).  Also carries the transport properties
+    for the scalar side.
+    """
+
+    kind = "scatra_solid"
+    youngs: float
+    nue: float
+    swelling: float  # beta, volumetric swelling coefficient per unit c
+    refconc: float = 0.0
+    diffusivity: float = 1.0
+    reacoeff: float = 0.0
+    density: float = 0.0
+    capacity: float = 1.0  # transient coefficient of the scalar eq
+
+    def _lame(self):
+        lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
+        mu = self.youngs / (2 * (1 + self.nue))
+        return lam, mu
+
+    def pk2_from_E(self, E, c=None):
+        from fourc_tpu.ops import common as gm
+
+        lam, mu = self._lame()
+        eye = gm.eye3l(E)
+        S = lam * gm.tr3l(E) * eye + 2.0 * mu * E
+        if c is not None:
+            S = S - (3.0 * lam + 2.0 * mu) * self.swelling * (c - self.refconc) * eye
+        return S
+
+    def pk2(self, C, c=None):
+        from fourc_tpu.ops import common as gm
+
+        return self.pk2_from_E(0.5 * (C - gm.eye3l(C)), c)
+
+    def psi(self, C):
+        from fourc_tpu.ops import common as gm
+
+        lam, mu = self._lame()
+        E = 0.5 * (C - gm.eye3l(C))
+        return 0.5 * lam * gm.tr3l(E) ** 2 + mu * jnp.sum(E * E)
+
+    # scalar-transport side
+    def diff(self, phi=None):
+        return self.diffusivity
+
+    def reaction(self, phi):
+        return self.reacoeff * phi
+
+
 @register_material("thermostvenantkirchhoff")
 @dataclass
 class ThermoStVenantKirchhoff(HyperelasticMaterial):

@@ -102,7 +102,8 @@ def _gp_stress(material, arg, kinem, history, g, dt, temps):
                 fn2 = fn
             return jax.vmap(fn2, in_axes=(-1, 0), out_axes=(-1, 0))(arg, history[:, g])
         return material.stress_small(arg), None
-    if getattr(material, "kind", "solid") == "thermo_solid" and temps is not None:
+    if (getattr(material, "kind", "solid") in ("thermo_solid", "scatra_solid")
+            and temps is not None):
         return material.pk2_from_E(arg, temps[:, g]), None
     if history is not None:
         C = 2.0 * arg + gm.eye3l(arg)
@@ -224,7 +225,8 @@ def _internal_force_einsum(Xe, ue, cell: CellType, material, kinem: str = "nonli
 
 def _stress_pk2(material, Egl, history, dt, temps=None):
     """Egl: GL strain (3, 3, M) -> (S (3, 3, M), history' or None)."""
-    if getattr(material, "kind", "solid") == "thermo_solid" and temps is not None:
+    if (getattr(material, "kind", "solid") in ("thermo_solid", "scatra_solid")
+            and temps is not None):
         return material.pk2_from_E(Egl, temps), None
     if history is not None:
         C = 2.0 * Egl + gm.eye3l(Egl)

@@ -70,6 +70,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import fsi_driver
 
         return fsi_driver.run(deck, callbacks=callbacks)
+    if ptype == "ssi":
+        from fourc_tpu.physics import ssi_driver
+
+        return ssi_driver.run(deck, callbacks=callbacks)
     raise NotImplementedError(f"problem type {ptype!r} not implemented yet")
 
 

@@ -132,8 +132,10 @@ class ScalarField:
 
     def _mat_props(self, key):
         m = self.block_mat[key]
-        if getattr(m, "kind", "scatra") == "scatra":
-            rhoc = 1.0  # d phi/dt, no density on transient (ref scatra eq)
+        kind = getattr(m, "kind", "scatra")
+        if kind in ("scatra", "scatra_solid"):
+            # d phi/dt (capacity 1 unless the coupled material says otherwise)
+            rhoc = float(getattr(m, "capacity", 1.0) or 1.0) if kind == "scatra_solid" else 1.0
             diff = m.diff()
             reaction = m.reaction
         else:  # thermo / thermo_solid: rho c dT/dt = div(k grad T)
@@ -162,11 +164,14 @@ class ScalarField:
             s = s + bf.val[0] * fn(xg, t, component=0)
         return s
 
-    def residual_transient(self, phi, phidot, t, dt=None, extra_source=None):
+    def residual_transient(self, phi, phidot, t, dt=None, extra_source=None,
+                           mesh_disp=None):
         """Global residual r(phi, phidot) at time t.
 
         extra_source: optional {block_key: (e,g)} coupling source at GPs
         (used by TSI for thermoelastic heating).
+        mesh_disp: (n_nodes, dim) — evaluate transport on the DEFORMED
+        configuration (SSI: diffusion follows the deforming body).
         """
         dm = self.dofmap
         per_block = {}
@@ -178,8 +183,11 @@ class ScalarField:
             src = self.source_at_gps(key, t)
             if extra_source is not None and key in extra_source:
                 src = extra_source[key] if src is None else src + extra_source[key]
+            Xe = self.block_X[key]
+            if mesh_disp is not None:
+                Xe = Xe + mesh_disp[dm.blocks[key].conn]
             fe = ops.residual(
-                self.block_X[key], phie, phidote, cell,
+                Xe, phie, phidote, cell,
                 diff, rhoc,
                 vel_gp=self.velocity_at_gps(key, t),
                 reaction=reaction,
