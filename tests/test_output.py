@@ -1,0 +1,67 @@
+"""Framework/output tests (tier 3): VTU + PVD files, monitor CSV diff.
+
+Analog of the reference's post-processing comparison harness
+(ref: tests/output_test/vtk_compare.py, utilities/diff_with_tolerance.py).
+"""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+from fourc_tpu.io import deck as dm
+from fourc_tpu.physics import driver
+
+
+def test_vtu_output_roundtrip(tmp_path):
+    out = str(tmp_path / "viz")
+    deck = dm.load(f"""
+problem: {{type: structure}}
+structural_dynamic: {{dynamictype: statics, kinem: linear, numstep: 2, timestep: 0.5}}
+io: {{write_vtu: true, output_dir: "{out}", write_stress: true}}
+solver: {{method: cg, precond: block_jacobi}}
+functions:
+  1: "t"
+materials:
+  1: {{type: stvenantkirchhoff, youngs: 1000.0, nue: 0.3}}
+geometry:
+  generator: {{kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1}}
+conditions:
+  dirichlet:
+    - {{nodes: xmin, onoff: [1,1,1], val: [0,0,0]}}
+    - {{nodes: xmax, onoff: [1,0,0], val: [0.1], funct: [1]}}
+""")
+    res = driver.run(deck)
+    files = sorted(os.listdir(out))
+    vtus = [f for f in files if f.endswith(".vtu")]
+    pvds = [f for f in files if f.endswith(".pvd")]
+    assert len(vtus) == 2 and len(pvds) == 1
+
+    # well-formed XML with displacement point data and the right mesh sizes
+    tree = ET.parse(os.path.join(out, vtus[-1]))
+    piece = tree.getroot().find(".//Piece")
+    assert int(piece.get("NumberOfPoints")) == 27
+    assert int(piece.get("NumberOfCells")) == 8
+    names = [da.get("Name") for da in piece.findall(".//PointData/DataArray")]
+    assert "displacement" in names
+
+    # pvd time series references both steps
+    pvd = ET.parse(os.path.join(out, pvds[0]))
+    steps = pvd.getroot().findall(".//DataSet")
+    assert len(steps) == 2
+    assert float(steps[-1].get("timestep")) == pytest.approx(1.0)
+
+
+def test_monitor_csv_diff(tmp_path):
+    from fourc_tpu.io.monitor import compare_csv
+
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    a.write_text("step,val\n1,1.0\n2,2.0\n")
+    b.write_text("step,val\n1,1.0\n2,2.0000000001\n")
+    assert compare_csv(str(a), str(b), rtol=1e-8)
+    c = tmp_path / "c.csv"
+    c.write_text("step,val\n1,1.0\n2,2.1\n")
+    with pytest.raises(AssertionError):
+        compare_csv(str(a), str(c), rtol=1e-8)
