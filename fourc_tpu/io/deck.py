@@ -171,7 +171,7 @@ DECK_SPEC = {
     "fsi_dynamic": group(
         {
             "coupling": param(str, "dirichletneumann",
-                              choices=("dirichletneumann",)),
+                              choices=("dirichletneumann", "monolithic")),
             "timestep": param(float, 1.0),
             "numstep": param(int, 1),
             "itemax": param(int, 30, doc="outer fixed-point iterations"),

@@ -73,6 +73,134 @@ def build_field(deck) -> FsiField:
     return FsiField(solid, fluid, ale, coupling, cfg)
 
 
+def make_monolithic_step(f: FsiField, dt: float):
+    """Monolithic FSI: one Newton-Krylov on the stacked unknowns
+    y = [d_s; x_f; d_m] (structure displacement, fluid vel+pressure, ALE
+    mesh displacement).
+
+    Counterpart of the reference's FSI::Monolithic 3-field block Newton
+    (ref: src/fsi/src/monolithic/4C_fsi_monolithic.cpp:424,935-1099 with
+    interface condensation).  TPU-native condensation: fluid interface
+    velocity dofs and ALE interface dofs are SLAVES of the structure
+    interface motion (u_G = (d_G - d_G_n)/dt backward-difference-consistent
+    with the fluid OST step, d_m|G = d_G); their residual rows transfer to
+    the structure interface rows (like mesh tying across fields), and the
+    exact coupled tangent — including shape derivatives through the ALE
+    block — is jax.jvp through the stacked residual.
+    """
+    solid, fluid, ale = f.solid, f.fluid, f.ale
+    th_f = fluid.params.theta if fluid.params.dyntype == "onesteptheta" else 1.0
+    sp = solid.params
+    th_s = sp.theta if sp.dyntype == "onesteptheta" else 1.0
+    dim = fluid.dim
+    nd, nf = solid.ndof, fluid.ndof
+    nm = ale.disc.n_nodes * dim
+    s_if = f.coupling.master_nodes  # structure interface nodes
+    f_if = f.coupling.slave_nodes  # fluid/ALE interface nodes
+
+    # masks for the stacked vector
+    free_s = solid.dbc.free_mask
+    free_f = fluid.dbc.free_mask  # interface vel dofs already constrained
+    ale_free = ale.free  # (n_nodes,) node-level
+    free_m = jnp.repeat(ale_free, dim)
+
+    def split(y):
+        return y[:nd], y[nd:nd + nf], y[nd + nf:]
+
+    def step(state):
+        t1 = state["t"] + dt
+        d_n = state["d"]
+        x_n, xdot_n = state["xf"], state["xfdot"]
+        dm_n = state["mesh_disp"].reshape(-1)
+
+        d_if_n = d_n.reshape(-1, solid.ndpn)[s_if, :dim]
+
+        def residual(y):
+            d, x, m3 = split(y)
+            mdisp = m3.reshape(-1, dim)
+            # slave values driven by the structure interface motion
+            d_if = d.reshape(-1, solid.ndpn)[s_if, :dim]
+            mdisp = mdisp.at[f_if].set(d_if)
+            mesh_vel = (mdisp - dm_n.reshape(-1, dim)) / dt
+            x = x.reshape(-1, fluid.ndpn).at[f_if, :dim].set(mesh_vel[f_if]) \
+                .reshape(-1)
+
+            # structure residual (+ fluid interface reaction added below)
+            fint, _ = solid.internal_force(d, history=state["hist"] or None, dt=dt)
+            r_s = fint - solid.external_force(t1, d)
+            if sp.dyntype != "statics":
+                v_new = (d - d_n) / (th_s * dt) - (1 - th_s) / th_s * state["v"]
+                a_mid = (v_new - state["v"]) / dt
+                r_s = r_s + solid.mass_matvec(a_mid)
+
+            # fluid residual on the moving mesh
+            xdot = (x - x_n) / (th_f * dt) - (1 - th_f) / th_f * xdot_n
+            xdot = pf._zero_pressure_rate(fluid, xdot)
+            r_f = fluid.residual_transient(x, xdot, t1, dt=dt,
+                                           mesh_disp=mdisp, mesh_vel=mesh_vel)
+
+            # interface condensation: fluid momentum rows at the interface
+            # transfer onto the structure interface rows (equilibrium)
+            rf_n = r_f.reshape(-1, fluid.ndpn)
+            react = rf_n[f_if, :dim]  # (n_if, dim)
+            rs_n = r_s.reshape(-1, solid.ndpn)
+            rs_n = rs_n.at[s_if, :dim].add(react)
+            r_s = rs_n.reshape(-1)
+
+            # ALE residual (Laplace) on free mesh nodes
+            r_m = jnp.stack(
+                [ale._laplace(mdisp[:, c]) for c in range(dim)], axis=-1
+            ).reshape(-1)
+
+            r_s = jnp.where(free_s, r_s, 0.0)
+            r_f = jnp.where(free_f, r_f, 0.0)
+            r_m = jnp.where(free_m, r_m, 0.0)
+            return jnp.concatenate([r_s, r_f, r_m])
+
+        d0 = solid.dbc.apply(d_n, t1)
+        x0 = jnp.where(free_f, x_n, fluid.dbc.values(t1))
+        y0 = jnp.concatenate([d0, x0, dm_n])
+        mask = jnp.concatenate([free_s, free_f, free_m])
+
+        ms = 0.0 if sp.dyntype == "statics" else 1.0 / (th_s * dt * dt)
+        Ms = solid.build_preconditioner(d0, dt=dt, mass_shift=ms)
+        Mf = fluid.build_preconditioner(dt_factor=1.0 / (th_f * dt), dt=dt)
+        dinv_m = jnp.repeat(ale._dinv, dim)
+
+        def M(r):
+            rs, rf, rm = split(r)
+            return jnp.concatenate([Ms(rs), Mf(rf), dinv_m * rm])
+
+        from dataclasses import replace
+
+        nw = sp.newton
+        if nw.lin_method == "cg":
+            nw = replace(nw, lin_method="gmres")
+        y, stats = newton_solve(residual, y0, mask, M, nw)
+        d, x, m3 = split(y)
+        # spread the slave values for the accepted state
+        mdisp = m3.reshape(-1, dim)
+        d_if = d.reshape(-1, solid.ndpn)[s_if, :dim]
+        mdisp = mdisp.at[f_if].set(d_if)
+        mesh_vel = (mdisp - dm_n.reshape(-1, dim)) / dt
+        x = x.reshape(-1, fluid.ndpn).at[f_if, :dim].set(mesh_vel[f_if]).reshape(-1)
+        xdot1 = pf._zero_pressure_rate(
+            fluid, (x - x_n) / (th_f * dt) - (1 - th_f) / th_f * xdot_n)
+
+        new = dict(state)
+        if sp.dyntype == "statics":
+            v1 = jnp.zeros_like(d)
+            a1 = jnp.zeros_like(d)
+        else:
+            v1 = (d - d_n) / (th_s * dt) - (1 - th_s) / th_s * state["v"]
+            a1 = (v1 - state["v"]) / (th_s * dt) - (1 - th_s) / th_s * state["a"]
+        new.update(d=d, v=v1, a=a1, xf=x, xfdot=fluid.dbc.mask(xdot1),
+                   mesh_disp=mdisp, t=t1, step=state["step"] + 1)
+        return new, stats
+
+    return jax.jit(step)
+
+
 def make_substeps(f: FsiField, dt: float):
     solid, fluid = f.solid, f.fluid
     th_f = fluid.params.theta if fluid.params.dyntype == "onesteptheta" else 1.0
@@ -151,6 +279,8 @@ def make_substeps(f: FsiField, dt: float):
 
 
 def run(deck, callbacks=None) -> drv.RunResult:
+    if deck.sections["fsi_dynamic"]["coupling"] == "monolithic":
+        return _run_monolithic(deck, callbacks)
     timers = Timers()
     with timers("setup"):
         f = build_field(deck)
@@ -225,6 +355,41 @@ def run(deck, callbacks=None) -> drv.RunResult:
         },
         states={"structure": state_s, "fluid": state_f,
                 "fsi": {"mesh_disp": mesh_disp_n, "d_if": d_if}},
+        stats={"structure": agg, "fluid": agg, "fsi": agg},
+        timers=timers,
+    )
+
+
+def _run_monolithic(deck, callbacks=None) -> drv.RunResult:
+    timers = Timers()
+    with timers("setup"):
+        f = build_field(deck)
+        cfg = f.params
+        dt = cfg["timestep"]
+        s = ps.compute_initial_state(f.solid, ps.init_state(f.solid))
+        fl = pf.init_state(f.fluid)
+        dim = f.fluid.dim
+        state = {
+            "d": s["d"], "v": s["v"], "a": s["a"], "hist": s["hist"],
+            "xf": fl["x"], "xfdot": fl["xdot"],
+            "mesh_disp": jnp.zeros((f.fluid.disc.n_nodes, dim), s["d"].dtype),
+            "t": s["t"], "step": s["step"],
+        }
+
+    state, agg = drv.time_loop(
+        "fsi", state, lambda dtt: make_monolithic_step(f, dtt), dt,
+        cfg["numstep"], divercont="stop", callbacks=list(callbacks or []),
+        timers=timers,
+    )
+    return drv.RunResult(
+        deck=deck,
+        fields={"structure": structure_driver.SolidFieldView(f.solid),
+                "fluid": fluid_driver.FluidFieldView(f.fluid),
+                "fsi": FsiView(f)},
+        states={"structure": {"d": state["d"], "v": state["v"], "a": state["a"],
+                              "hist": state["hist"]},
+                "fluid": {"x": state["xf"], "xdot": state["xfdot"]},
+                "fsi": state},
         stats={"structure": agg, "fluid": agg, "fsi": agg},
         timers=timers,
     )
