@@ -24,9 +24,12 @@ def main():
     from fourc_tpu.materials import make_material
     from fourc_tpu.physics import solid as ps
 
-    n = int(os.environ.get("BENCH_N", "69"))
+    # n=72: 1.167M dofs AND even -> 4 geometric-multigrid levels (odd n
+    # truncates the hierarchy at the first level)
+    n = int(os.environ.get("BENCH_N", "72"))
     n_steps = int(os.environ.get("BENCH_STEPS", "3"))
     precond = os.environ.get("BENCH_PRECOND", "gmg")
+    host_newton = os.environ.get("BENCH_HOST_NEWTON", "1") == "1"
 
     disc = gridgen.box(n, n, n, cell="hex8")
     ndof = disc.n_nodes * 3
@@ -37,6 +40,7 @@ def main():
         dyntype="genalpha",
         genalpha=ps.GenAlphaParams(rho_inf=0.9),
         precond=precond,
+        host_newton=host_newton,
     )
     # f32 on TPU: relative residual drop of 1e-4 (the measured f32 residual
     # floor for this problem is ~3e-5 relative; BASELINE's 1e-8 abs maps to

@@ -72,6 +72,12 @@ class SolidParams:
     max_halvings: int = 5
     predictor: str = "constdis"  # ref PREDICT: constdis|constvelacc|tangdis
     dtype: str = "float64"
+    # host-orchestrated Newton: the residual and each linear solve compile
+    # as SEPARATE programs and the Newton loop runs on the host.  Same
+    # algorithm; ~3x smaller compile units (needed for very large meshes on
+    # the remote-compile TPU path, where one monolithic step HLO overwhelms
+    # the compile service).  Costs one host sync per Newton iteration.
+    host_newton: bool = False
 
 
 class SolidField:
@@ -440,6 +446,8 @@ def make_step(f: SolidField, dt: float | None = None):
         raw = _make_ost_step(f, dt)
     elif typ == "genalpha":
         raw = _make_genalpha_step(f, dt)
+        if f.params.host_newton:
+            return raw  # host loop orchestrating its own jitted programs
     elif typ in ("explicit", "explicit_central"):
         raw = _make_central_diff_step(f, dt)
     else:
@@ -502,6 +510,8 @@ def _make_genalpha_step(f: SolidField, dt: float):
     am, af, beta, gamma = ga.alpha_m, ga.alpha_f, ga.beta, ga.gamma
     ra, rb = f.params.rayleigh_alpha, f.params.rayleigh_beta
     M_gmg = _static_precond(f, mass_shift=(1 - am) / (beta * dt * dt))
+    if f.params.host_newton:
+        return _make_genalpha_step_host(f, dt, M_gmg)
 
     def step(state):
         t1 = state["t"] + dt
@@ -546,6 +556,104 @@ def _make_genalpha_step(f: SolidField, dt: float):
             hist=hist_new or state["hist"],
         )
         return new_state, stats
+
+    return step
+
+
+def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
+    """Host-orchestrated gen-alpha step (see SolidParams.host_newton).
+
+    Three compiled programs: residual+norm, preconditioned-CG linear solve
+    (jvp tangent), finalize.  No history materials (bench-scale path).
+    """
+    from fourc_tpu.linalg import solvers as ls
+
+    ga = f.params.genalpha
+    am, af, beta, gamma = ga.alpha_m, ga.alpha_f, ga.beta, ga.gamma
+    nw = f.params.newton
+    mask = f.dbc.free_mask
+
+    def _residual(u, aux):
+        d_n, v_n, a_n, fint_n, fext_n, t1 = aux
+        v_new, a_new = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
+        a_mid = (1 - am) * a_new + am * a_n
+        fi, _ = f.internal_force(u, dt=dt)
+        fint_mid = (1 - af) * fi + af * fint_n
+        r = f.mass_matvec(a_mid) + fint_mid - (
+            (1 - af) * f.external_force(t1, u) + af * fext_n
+        )
+        return jnp.where(mask, r, 0.0)
+
+    @jax.jit
+    def residual_norm(u, aux):
+        r = _residual(u, aux)
+        return r, jnp.linalg.norm(r)
+
+    @jax.jit
+    def lin_solve(u, r, aux, eta):
+        def A(v):
+            vm = jnp.where(mask, v, 0.0)
+            _, jv = jax.jvp(lambda x: _residual(x, aux), (u,), (vm,))
+            return jnp.where(mask, jv, v)
+
+        M = M_gmg if M_gmg is not None else f.build_preconditioner(
+            u, dt=dt, mass_shift=(1 - am) / (beta * dt * dt))
+        res = ls.cg(A, -r, M=M, tol=eta, atol=0.0, maxiter=nw.lin_maxiter)
+        du = jnp.where(mask, res.x, 0.0)
+        return u + du, jnp.linalg.norm(du), res.iters
+
+    @jax.jit
+    def finalize(u, state, t1):
+        d_n, v_n, a_n = state["d"], state["v"], state["a"]
+        v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
+        fint_new, _ = f.internal_force(u, dt=dt)
+        fext_new = f.external_force(t1, u)
+        new_state = dict(state)
+        new_state.update(d=u, v=v1, a=a1, t=t1, step=state["step"] + 1,
+                         fint=fint_new, fext=fext_new)
+        return new_state
+
+    @jax.jit
+    def predict(state, t1):
+        return f.dbc.apply(state["d"], t1)
+
+    def step(state):
+        t1 = state["t"] + dt
+        aux = (state["d"], state["v"], state["a"], state["fint"], state["fext"], t1)
+        u = predict(state, t1)
+        r, rnorm = residual_norm(u, aux)
+        rnorm0 = float(rnorm)
+        rnorm_f = rnorm0
+        rprev = float("inf")
+        k = 0
+        lin_tot = 0
+        dnorm = 0.0
+        while k < nw.max_iter:
+            tol = max(nw.tol_res, nw.tol_res_rel * rnorm0 if nw.tol_res_rel else 0.0)
+            if rnorm_f <= tol:
+                break
+            if nw.stag_tol and k >= 2 and rnorm_f > nw.stag_tol * rprev:
+                break
+            eta = (min(max((rnorm_f / max(rnorm0, 1e-300)) ** 0.5, nw.lin_rtol), 1e-1)
+                   if nw.lin_adaptive else nw.lin_rtol)
+            u, dn, its = lin_solve(u, r, aux, eta)
+            lin_tot += int(its)
+            dnorm = float(dn)
+            r, rnorm = residual_norm(u, aux)
+            rprev = rnorm_f
+            rnorm_f = float(rnorm)
+            k += 1
+        tol = max(nw.tol_res, nw.tol_res_rel * rnorm0 if nw.tol_res_rel else 0.0)
+        conv = rnorm_f <= tol
+        if nw.stag_tol and not conv:
+            conv = (rnorm_f > nw.stag_tol * rprev
+                    and rnorm_f <= nw.stag_min_drop * max(rnorm0, 1e-300))
+        stats = {
+            "iters": jnp.asarray(k), "resnorm": jnp.asarray(rnorm_f),
+            "dispnorm": jnp.asarray(dnorm), "lin_iters": jnp.asarray(lin_tot),
+            "converged": jnp.asarray(bool(conv)),
+        }
+        return finalize(u, state, t1), stats
 
     return step
 
