@@ -152,6 +152,22 @@ class SolidField:
 
             self.contact = PenaltyContact(list(contact), disc.coords, self.ndpn)
 
+        # argument hoisting: register every big device buffer so jitted
+        # steps take them as runtime parameters instead of HLO literals
+        # (see utils/hoist.py — 2 GB lowered modules otherwise at 1M dofs)
+        from fourc_tpu.utils.hoist import Hoister
+
+        self.hoister = Hoister()
+        self.hoister.register_attr(self, "coords")
+        for key in self.block_X:
+            self.hoister.register_item(self.block_X, key)
+        self.hoister.register_attr(self.dbc, "free_mask")
+        for key, ba in self.dofmap.blocks.items():
+            if ba.structured is None:
+                self.hoister.register_attr(ba, "conn")
+                self.hoister.register_attr(ba, "perm")
+                self.hoister.register_attr(ba, "sorted_dof")
+
         self.ties = None
         if meshtying:
             from fourc_tpu.coupling.meshtying import TiedDofs, match_pairs
@@ -452,6 +468,8 @@ def make_step(f: SolidField, dt: float | None = None):
         raw = _make_central_diff_step(f, dt)
     else:
         raise ValueError(f"unknown DYNAMICTYPE {typ!r}")
+    if hasattr(f, "hoister"):
+        return f.hoister.jit(raw)
     return jax.jit(raw)
 
 
@@ -468,6 +486,11 @@ def _static_precond(f: SolidField, mass_shift: float = 0.0):
 
         warnings.warn("gmg preconditioner needs a structured single-block "
                       "mesh; falling back to block_jacobi")
+    elif hasattr(f, "hoister"):
+        for lv in M.levels:
+            for nm in ("Xe", "Ke", "dinv", "mlump", "free"):
+                if getattr(lv, nm, None) is not None:
+                    f.hoister.register_attr(lv, nm)
     return M
 
 
@@ -584,12 +607,10 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
         )
         return jnp.where(mask, r, 0.0)
 
-    @jax.jit
     def residual_norm(u, aux):
         r = _residual(u, aux)
         return r, jnp.linalg.norm(r)
 
-    @jax.jit
     def lin_solve(u, r, aux, eta):
         def A(v):
             vm = jnp.where(mask, v, 0.0)
@@ -602,7 +623,6 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
         du = jnp.where(mask, res.x, 0.0)
         return u + du, jnp.linalg.norm(du), res.iters
 
-    @jax.jit
     def finalize(u, state, t1):
         d_n, v_n, a_n = state["d"], state["v"], state["a"]
         v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
@@ -613,9 +633,14 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
                          fint=fint_new, fext=fext_new)
         return new_state
 
-    @jax.jit
     def predict(state, t1):
         return f.dbc.apply(state["d"], t1)
+
+    # separate compile units, all with hoisted field buffers
+    residual_norm = f.hoister.jit(residual_norm)
+    lin_solve = f.hoister.jit(lin_solve)
+    finalize = f.hoister.jit(finalize)
+    predict = f.hoister.jit(predict)
 
     def step(state):
         t1 = state["t"] + dt
