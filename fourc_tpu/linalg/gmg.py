@@ -165,17 +165,22 @@ class _Level:
             cols.append(lattice_coords[sl].reshape(Ecount, dim))
         self.Xe = jnp.asarray(np.stack(cols, axis=1), dtype)
 
-        # assembled per-element stiffness (E, m, m): level matvecs become
-        # MXU batched matmuls (~memory-bound) instead of re-evaluated
-        # kernels — the 'assembled operator' capability of the reference's
-        # SparseMatrix path, stored element-wise instead of CRS
+        # assembled per-element stiffness stored ELEMENT-LAST (m, m, E):
+        # the matvec contracts the tiny m=24 axis with E in the vector
+        # lanes.  (A batched (E,24,24) MXU matmul pads 24 -> 128 in both
+        # dims: 25x wasted FLOPs and a multi-GB padded intermediate that
+        # OOMs the chip at ~1M dofs.)  This is the 'assembled operator'
+        # capability of the reference's SparseMatrix path, element-wise.
         nen = len(offsets)
         m = nen * ndpn
         ue0 = jnp.zeros((Ecount, nen, dim), dtype)
-        self.Ke = jax.jit(
-            lambda: sops.element_stiffness(self.Xe, ue0, cell, self.mat,
-                                           kinem="linear")
-        )()
+        Ke = jax.jit(
+            lambda xe: jnp.transpose(
+                sops.element_stiffness(xe, ue0, cell, self.mat, kinem="linear"),
+                (1, 2, 0),
+            )
+        )(self.Xe)
+        self.Ke = Ke  # (m, m, E)
 
         self.offsets = offsets
         self.mass_coeff = float(rho * mass_shift)
@@ -187,9 +192,9 @@ class _Level:
             self.mlump = None
 
         # exact Jacobi diagonal from the assembled element matrices
-        diag = self._scatter(jnp.einsum("eii->ei", self.Ke))
+        diag = self._scatter(jnp.einsum("iiE->Ei", self.Ke))
         # Gershgorin bound for Chebyshev: lmax(D^-1 A) <= max_i sum_j|A_ij|/D_i
-        rowabs = self._scatter(jnp.sum(jnp.abs(self.Ke), axis=2))
+        rowabs = self._scatter(jnp.transpose(jnp.sum(jnp.abs(self.Ke), axis=1)))
         if self.mlump is not None:
             diag = diag + self.mass_coeff * self.mlump
             rowabs = rowabs + self.mass_coeff * self.mlump
@@ -220,8 +225,9 @@ class _Level:
         vm = jnp.where(self.free, v, 0.0)
         ve = self._gather(vm)  # (E, nen, ndpn)
         E = ve.shape[0]
-        fe = jnp.einsum("eij,ej->ei", self.Ke, ve.reshape(E, -1))
-        out = self._scatter(fe)
+        vt = jnp.transpose(ve.reshape(E, -1))  # (m, E)
+        fe = jnp.einsum("ijE,jE->iE", self.Ke, vt)  # E in the lanes
+        out = self._scatter(jnp.transpose(fe))
         if self.mlump is not None:
             out = out + self.mass_coeff * self.mlump * vm
         return jnp.where(self.free, out, v)
