@@ -1,10 +1,12 @@
-"""Node-to-surface penalty contact with active-set masking.
+"""Node-to-surface contact: penalty, augmented-Lagrange (Uzawa), Coulomb
+friction — active-set via masking.
 
 Counterpart of the reference's computational-contact module
 (ref: src/contact — `CONTACT::AbstractStrategy` -> `PenaltyStrategy`
-(4C_contact_penalty_strategy.*); gap + normal evaluation in
-4C_contact_integrator.cpp; semismooth active-set update
-`update_active_set_semi_smooth` 4C_contact_lagrange_strategy.cpp:3385).
+(4C_contact_penalty_strategy.*), `LagrangeStrategy` (semismooth active-set
+`update_active_set_semi_smooth` 4C_contact_lagrange_strategy.cpp:3385),
+Coulomb friction (4C_contact_friction_node.cpp); gap + normal evaluation in
+4C_contact_integrator.cpp).
 
 TPU-native design:
 - broad phase ONCE at setup (host numpy): K candidate master faces per
@@ -13,14 +15,22 @@ TPU-native design:
   re-jit-free; re-run on demand for large sliding
 - narrow phase INSIDE the jitted residual: closest-point projection onto
   each candidate face (fixed-iteration Newton in the parametric coords),
-  gap g = (x_s - x_proj) . n
-- active set = (g < 0) masks in the residual; jax.jvp through the masked
+  gap g = (x_s - x_proj) . n; candidates blended with a continuous
+  partition of unity so the residual stays C^0 across face boundaries
+- active set = max(0, .) masks in the residual; jax.jvp through the masked
   residual IS the consistent semismooth-Newton linearization (the
   derivative of the active branch), replacing the reference's hand-coded
   derivative maps (CoNode 'deriv' containers)
-- penalty regularization sigma_n = -pen * min(g, 0) (ref: PenaltyStrategy);
-  forces act on the slave node and are spread to the master face nodes by
-  the shape functions at the projection point (action = reaction)
+- normal traction:
+    penalty   p_n = max(0, -pen * g)                    (PenaltyStrategy)
+    uzawa     p_n = max(0, lam - pen * g)               (augmented Lagrange;
+              lam updated per converged step / Uzawa iteration: the
+              multiplier converges to the exact contact pressure, gap -> 0,
+              replacing the reference's condensed dual-LM solve)
+- Coulomb friction: elastic-predictor/return-mapping on the tangential
+  traction with per-slave-node traction history (ref: FrictionNode slip/
+  stick states); t_trial = P_t(t_old) + pen_t * Du_t,
+  ||t|| <= mu * p_n (stick) else slip at the cone surface
 """
 
 from __future__ import annotations
@@ -40,10 +50,20 @@ class ContactCondition:
     master_faces: object  # list[FaceBlock] (quad4/tri3 faces)
     penalty: float = 1e5
     n_candidates: int = 4
+    strategy: str = "penalty"  # "penalty" | "uzawa" (augmented Lagrange)
+    friction_mu: float = 0.0  # Coulomb coefficient; 0 = frictionless
+    penalty_t: float = 0.0  # tangential penalty (default: = penalty)
+    uzawa_max_iter: int = 8  # outer multiplier updates (statics driver)
+    uzawa_tol: float = 1e-8  # stop when max |pen*g| change below this
 
 
 class PenaltyContact:
-    """Evaluates contact forces for a list of ContactConditions."""
+    """Evaluates contact forces for a list of ContactConditions.
+
+    Stateless forces for pure frictionless penalty; otherwise carries a
+    contact-state pytree (multipliers + friction traction history) threaded
+    through the time-step state dict.
+    """
 
     def __init__(self, conds, coords: np.ndarray, ndpn: int):
         self.ndpn = ndpn
@@ -70,26 +90,73 @@ class PenaltyContact:
                     mconn=jnp.asarray(mconn.astype(np.int32)),
                     cand=jnp.asarray(cand),
                     pen=float(c.penalty),
+                    pen_t=float(c.penalty_t or c.penalty),
+                    mu=float(c.friction_mu),
+                    strategy=c.strategy,
+                    uzawa_max_iter=int(c.uzawa_max_iter),
+                    uzawa_tol=float(c.uzawa_tol),
                 )
             )
+        self.stateful = any(p["mu"] > 0 or p["strategy"] == "uzawa"
+                            for p in self.pairs)
 
-    def force(self, x_nodes):
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, dtype=jnp.float32):
+        """Contact-state pytree: per pair a dict of per-slave arrays."""
+        st = []
+        for p in self.pairs:
+            S = p["slave"].shape[0]
+            st.append({
+                "lam": jnp.zeros((S,), dtype),  # normal multiplier >= 0
+                "tt": jnp.zeros((S, 3), dtype),  # friction traction (global)
+            })
+        return st
+
+    # -- forces ---------------------------------------------------------------
+
+    def force(self, x_nodes, cstate=None, x_old=None):
         """Contact nodal forces given CURRENT coordinates (n_nodes, d).
+
+        cstate: pytree from init_state (None -> pure penalty, frictionless).
+        x_old: coordinates at the last converged step (friction slip
+        increment reference); required when friction is on.
 
         Returns (n_nodes, d) forces (to be ADDED to the internal force,
         i.e. they enter the residual with a + sign on the slave side).
         """
         f = jnp.zeros_like(x_nodes)
-        for p in self.pairs:
-            f = f + _pair_force(x_nodes, p["slave"], p["mconn"], p["cand"], p["pen"])
+        for i, p in enumerate(self.pairs):
+            ps = None if cstate is None else cstate[i]
+            f = f + _pair_force(x_nodes, p, ps, x_old)[0]
         return f
+
+    def update_state(self, x_nodes, cstate, x_old):
+        """Post-step state update: Uzawa multiplier + friction traction
+        history (called once per converged step with the final geometry)."""
+        new = []
+        for i, p in enumerate(self.pairs):
+            _, upd = _pair_force(x_nodes, p, cstate[i], x_old)
+            lam_new = upd["lam"] if p["strategy"] == "uzawa" else cstate[i]["lam"]
+            new.append({"lam": lam_new, "tt": upd["tt"]})
+        return new
+
+    def max_multiplier_change(self, x_nodes, cstate, x_old):
+        """max_i |lam_new - lam| over all pairs (Uzawa convergence test)."""
+        out = jnp.asarray(0.0, x_nodes.dtype)
+        for i, p in enumerate(self.pairs):
+            if p["strategy"] != "uzawa":
+                continue
+            _, upd = _pair_force(x_nodes, p, cstate[i], x_old)
+            out = jnp.maximum(out, jnp.max(jnp.abs(upd["lam"] - cstate[i]["lam"])))
+        return out
 
 
 def _project_quad(xs, Xf, iters=4):
     """Closest-point projection of xs (d,) onto bilinear quad Xf (4, d).
 
     Fixed-iteration Newton in (xi, eta) in [-1,1]^2 (jit-static), returns
-    (xi, eta, x_proj, normal).
+    (xi, eta, N, x_proj, normal).
     """
 
     def shape(xi, eta):
@@ -130,16 +197,26 @@ def _project_quad(xs, Xf, iters=4):
     return xi, eta, N, xp, n
 
 
-def _pair_force(x, slave, mconn, cand, pen):
-    """Penalty forces for one contact pair set.
+def _pair_force(x, p, pstate, x_old):
+    """Forces + state update for one contact pair set.
 
     Candidate faces are blended with a CONTINUOUS partition of unity (an
     insideness measure of the clipped projection), never selected by
     argmax: selection would make the residual jump when a node sits over a
     shared face edge (ties at flat interfaces), which destroys Newton.
-    """
 
-    def per_slave(s, cands):
+    Returns (nodal force array, {"lam": updated multiplier,
+    "tt": updated friction traction}).
+    """
+    slave, mconn, cand = p["slave"], p["mconn"], p["cand"]
+    pen, pen_t, mu_f = p["pen"], p["pen_t"], p["mu"]
+    lam = pstate["lam"] if pstate is not None else None
+    tt_old = pstate["tt"] if pstate is not None else None
+    d = x.shape[1]
+    if x_old is None:
+        x_old = x  # no slip increment available (frictionless paths)
+
+    def per_slave(s, cands, lam_s, tt_s):
         xs = x[s]
 
         def per_cand(fidx):
@@ -153,22 +230,54 @@ def _pair_force(x, slave, mconn, cand, pen):
             mu = jnp.maximum(0.0, 1.0 + tol - jnp.abs(xi)) * jnp.maximum(
                 0.0, 1.0 + tol - jnp.abs(eta)
             )
-            active = (g < 0.0) & (g > -0.5)
-            p_n = jnp.where(active, -pen * g, 0.0)  # sigma_n >= 0
-            return p_n, mu, n, N
+            return g, mu, n, N
 
-        p_n, mu, n, N = jax.vmap(per_cand)(cands)  # (K,), (K,), (K,d), (K,4)
+        g, mu, n, N = jax.vmap(per_cand)(cands)  # (K,), (K,), (K,d), (K,4)
         # weights independent of the active state (gating by activity would
         # re-introduce jumps when a candidate activates); clipped outside
         # projections carry mu <= tol so they barely dilute the partition
         w = mu / jnp.maximum(mu.sum(), 1e-30)
-        fs = jnp.einsum("k,k,kd->d", w, p_n, n)  # blended slave force
-        fr = -(w * p_n)[:, None, None] * N[..., None] * n[:, None, :]  # (K,4,d)
-        return fs, fr
+        near = (g > -0.5)  # depth guard against spurious far-side faces
+        # per-candidate normal traction (smooth in u): the node-level
+        # multiplier augments each candidate's penalty term
+        p_n = jnp.where(near, jnp.maximum(0.0, lam_s - pen * g), 0.0)  # (K,)
+        p_node = jnp.sum(w * p_n)
 
-    fs, fr = jax.vmap(per_slave)(slave, cand)  # (S, d), (S, K, 4, d)
+        # --- Coulomb friction (elastic predictor / return mapping) ---------
+        if mu_f > 0.0:
+            nhat = jnp.einsum("k,kd->d", w, n)
+            nhat = nhat / jnp.maximum(jnp.linalg.norm(nhat), 1e-30)
+            dxs = xs - x_old[s]  # slave motion since last converged step
+            dxm = jnp.einsum("k,ka,kad->d", w, N, x[mconn[cands]] - x_old[mconn[cands]])
+            ds = dxs - dxm  # relative motion
+            ds_t = ds - jnp.dot(ds, nhat) * nhat
+            tt_p = tt_s - jnp.dot(tt_s, nhat) * nhat  # rotate old traction
+            t_trial = tt_p + pen_t * ds_t
+            tnorm = jnp.linalg.norm(t_trial)
+            cap = mu_f * p_node
+            scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-30), 1.0)
+            t_t = t_trial * scale  # resists slave motion with -t_t below
+        else:
+            t_t = jnp.zeros((d,), x.dtype)
+
+        fs = jnp.einsum("k,k,kd->d", w, p_n, n) - t_t  # force ON the slave
+        # reaction: each candidate face takes back its own normal share plus
+        # its partition of the friction force
+        fr = -(w * p_n)[:, None, None] * N[..., None] * n[:, None, :] \
+            + (w[:, None, None] * N[..., None]) * t_t[None, None, :]  # (K,4,d)
+        # multiplier update (POST-step only — smoothness not required):
+        # activity-weighted gap isolates the truly penetrated faces
+        w_act = w * jnp.where(jnp.logical_or(g < 0.0, p_n > 0.0), 1.0, 0.0)
+        ghat = jnp.sum(w_act * g) / jnp.maximum(jnp.sum(w_act), 1e-30)
+        lam_new = jnp.maximum(0.0, lam_s - pen * ghat)
+        return fs, fr, lam_new, t_t
+
+    S = slave.shape[0]
+    lam_in = lam if lam is not None else jnp.zeros((S,), x.dtype)
+    tt_in = tt_old if tt_old is not None else jnp.zeros((S, d), x.dtype)
+    fs, fr, lam_new, tt_new = jax.vmap(per_slave)(slave, cand, lam_in, tt_in)
     f = jnp.zeros_like(x)
     f = f.at[slave].add(fs)
     mnodes = mconn[cand]  # (S, K, 4)
-    f = f.at[mnodes.reshape(-1)].add(fr.reshape(-1, x.shape[1]))
-    return f
+    f = f.at[mnodes.reshape(-1)].add(fr.reshape(-1, d))
+    return f, {"lam": lam_new, "tt": tt_new}

@@ -116,6 +116,8 @@ def _dyn_spec(default_dyntype, dyntypes):
         {
             "dynamictype": param(str, default_dyntype, choices=dyntypes, doc="time integrator"),
             "kinem": param(str, "nonlinear", choices=("linear", "nonlinear"), doc="kinematics"),
+            "tech": param(str, "none", choices=("none", "fbar"),
+                          doc="element technology (ref TECH flag)"),
             "timestep": param(float, 1.0, doc="dt"),
             "numstep": param(int, 1, doc="number of steps"),
             "maxtime": param(float, None, doc="final time (overrides numstep)"),
@@ -154,7 +156,8 @@ DECK_SPEC = {
             "type": param(
                 str, "structure",
                 choices=("structure", "scatra", "thermo", "fluid", "tsi", "ale",
-                         "fsi", "ssi", "particle", "lubrication", "elch"),
+                         "fsi", "ssi", "particle", "lubrication", "elch",
+                         "poroelasticity"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -167,6 +170,7 @@ DECK_SPEC = {
     ),
     "scatra_dynamic": _dyn_spec("onesteptheta", ("stationary", "onesteptheta", "bdf2", "genalpha")),
     "thermal_dynamic": _dyn_spec("statics", ("statics", "onesteptheta", "genalpha")),
+    "poro_pressure_dynamic": _dyn_spec("onesteptheta", ("onesteptheta",)),
     "fluid_dynamic": _dyn_spec("onesteptheta", ("stationary", "onesteptheta", "bdf2", "genalpha")),
     "fsi_dynamic": group(
         {
@@ -189,6 +193,16 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "poroelasticity_dynamic": group(
+        {
+            "coupling": param(str, "monolithic", choices=("oneway", "partitioned", "monolithic")),
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "itemax_outer": param(int, 20),
+            "convtol_outer": param(float, 1e-8),
+        },
+        doc="POROELASTICITY DYNAMIC (Biot u-p coupling)",
     ),
     "tsi_dynamic": group(
         {
@@ -424,6 +438,11 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                         master_faces=_resolve_faces(disc, item["master"]),
                         penalty=float(item.get("penalty", 1e5)),
                         n_candidates=int(item.get("candidates", 4)),
+                        strategy=str(item.get("strategy", "penalty")),
+                        friction_mu=float(item.get("friction_mu", 0.0)),
+                        penalty_t=float(item.get("penalty_t", 0.0)),
+                        uzawa_max_iter=int(item.get("uzawa_max_iter", 8)),
+                        uzawa_tol=float(item.get("uzawa_tol", 1e-8)),
                     )
                 )
             else:

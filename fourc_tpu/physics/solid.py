@@ -58,6 +58,7 @@ class GenAlphaParams:
 @dataclass
 class SolidParams:
     kinem: str = "nonlinear"  # ref: KINEM flag on SOLID elements
+    tech: str = "none"  # ref: TECH flag — none|fbar (EAS planned)
     dyntype: str = "statics"  # ref: DYNAMICTYPE (statics/onesteptheta/genalpha/explicit)
     dt: float = 1.0
     n_steps: int = 1
@@ -191,8 +192,13 @@ class SolidField:
 
     # -- forces -------------------------------------------------------------
 
-    def internal_force(self, u, history=None, dt=None, temps=None):
-        """Global internal force f_int(u); returns (vector, new_history)."""
+    def internal_force(self, u, history=None, dt=None, temps=None,
+                       cstate=None, u_old=None):
+        """Global internal force f_int(u); returns (vector, new_history).
+
+        cstate/u_old: contact-state pytree + last converged displacement
+        (multiplier + friction-history strategies; see contact/penalty.py).
+        """
         dm = self.dofmap
         per_block, new_hist = {}, {}
         for key in dm.blocks:
@@ -202,7 +208,7 @@ class SolidField:
             fe, hn = ops.internal_force(
                 self.block_X[key], ue, self._cell(key),
                 self.block_mat[key], kinem=self.params.kinem, history=h, dt=dt,
-                temps=tg,
+                temps=tg, tech=self.params.tech,
             )
             per_block[key] = fe.reshape(fe.shape[0], -1)
             if hn is not None:
@@ -213,7 +219,8 @@ class SolidField:
             # equilibrium fint = fext + F_contact (ref: contact forces in the
             # structural model evaluator, 4C_contact_penalty_strategy.*)
             x = self.coords + u.reshape(-1, self.ndpn)
-            f = f - self.contact.force(x).reshape(-1)
+            xo = None if u_old is None else self.coords + u_old.reshape(-1, self.ndpn)
+            f = f - self.contact.force(x, cstate, xo).reshape(-1)
         return f, (new_hist if new_hist else None)
 
     def _cell(self, key):
@@ -404,7 +411,7 @@ def init_state(f: SolidField):
             cell = f._cell(key)
             n = blk.conn.shape[0] * cell.ngp
             hist[key] = m.init_history(n).reshape(blk.conn.shape[0], cell.ngp, -1)
-    return {
+    state = {
         "d": z,
         "v": z,
         "a": z,
@@ -414,6 +421,9 @@ def init_state(f: SolidField):
         "fext": z,
         "hist": hist,
     }
+    if f.contact is not None and f.contact.stateful:
+        state["con"] = f.contact.init_state(z.dtype)
+    return state
 
 
 def compute_initial_state(f: SolidField, state, consistent_mass_tol=1e-10):
@@ -496,27 +506,71 @@ def _static_precond(f: SolidField, mass_shift: float = 0.0):
 
 def _make_statics_step(f: SolidField, dt: float):
     M_gmg = _static_precond(f)
+    con_on = f.contact is not None and f.contact.stateful
+    if con_on:
+        n_uz = max((p["uzawa_max_iter"] for p in f.contact.pairs
+                    if p["strategy"] == "uzawa"), default=1)
+        uz_tol = min((p["uzawa_tol"] for p in f.contact.pairs
+                      if p["strategy"] == "uzawa"), default=0.0)
 
     def step(state):
         t1 = state["t"] + dt
         hist = state["hist"] or None
+        d_old = state["d"]
 
-        def residual(u):
-            fi, _ = f.internal_force(u, history=hist, dt=dt)
+        def residual_with(u, con):
+            fi, _ = f.internal_force(u, history=hist, dt=dt, cstate=con,
+                                     u_old=d_old if con_on else None)
             return fi - f.external_force(t1, u)
 
         u0 = f.dbc.apply(state["d"], t1)  # predictor: constdis + DBC at t_{n+1}
         M = M_gmg if M_gmg is not None else f.build_preconditioner(u0, history=hist, dt=dt)
-        res_fn, spread = f._residual_xform(residual)
-        u, stats = newton_solve(res_fn, u0, f.dbc.free_mask, M, f.params.newton)
-        u = spread(u)
 
-        fint_new, hist_new = f.internal_force(u, history=hist, dt=dt)
+        if not con_on:
+            res_fn, spread = f._residual_xform(lambda u: residual_with(u, None))
+            u, stats = newton_solve(res_fn, u0, f.dbc.free_mask, M, f.params.newton)
+            u = spread(u)
+            con_new = None
+        else:
+            # augmented-Lagrange (Uzawa) outer loop: Newton solve at frozen
+            # multipliers, then lam <- max(0, lam - pen*g), until the
+            # multiplier update stalls (ref: Uzawa nonlinear solver,
+            # 4C_constraint_solver / contact penalty-Uzawa strategy)
+            xo = f.coords + d_old.reshape(-1, f.ndpn)
+
+            def solve_once(u, con):
+                res_fn, spread = f._residual_xform(lambda uu: residual_with(uu, con))
+                u1, st = newton_solve(res_fn, u, f.dbc.free_mask, M, f.params.newton)
+                return spread(u1), st
+
+            def uz_body(carry):
+                u, con, k, _, _ = carry
+                u1, st = solve_once(u, con)
+                x = f.coords + u1.reshape(-1, f.ndpn)
+                chg = f.contact.max_multiplier_change(x, con, xo)
+                con1 = f.contact.update_state(x, con, xo)
+                return (u1, con1, k + 1, chg, st)
+
+            def uz_cond(carry):
+                _, _, k, chg, _ = carry
+                return jnp.logical_and(k < n_uz, chg > uz_tol)
+
+            u0c, con0, k0, st0 = u0, state["con"], jnp.asarray(0), None
+            # one priming iteration supplies the stats pytree structure
+            u1, con1, k1, chg1, st1 = uz_body((u0c, con0, k0, jnp.asarray(jnp.inf, u0.dtype), None))
+            u, con_new, _, _, stats = jax.lax.while_loop(
+                uz_cond, uz_body, (u1, con1, k1, chg1, st1))
+
+        fint_new, hist_new = f.internal_force(
+            u, history=hist, dt=dt, cstate=con_new,
+            u_old=d_old if con_on else None)
         new_state = dict(state)
         new_state.update(
             d=u, t=t1, step=state["step"] + 1, fint=fint_new,
             fext=f.external_force(t1, u), hist=hist_new or state["hist"],
         )
+        if con_new is not None:
+            new_state["con"] = con_new
         return new_state, stats
 
     return step
@@ -536,17 +590,21 @@ def _make_genalpha_step(f: SolidField, dt: float):
     if f.params.host_newton:
         return _make_genalpha_step_host(f, dt, M_gmg)
 
+    con_on = f.contact is not None and f.contact.stateful
+
     def step(state):
         t1 = state["t"] + dt
         tm = (1 - af) * t1 + af * state["t"]
         d_n, v_n, a_n = state["d"], state["v"], state["a"]
         fint_n = state["fint"]
         hist = state["hist"] or None
+        con = state.get("con") if con_on else None
 
         def residual(d_new):
             v_new, a_new = _newmark_updates(f, dt, d_new, d_n, v_n, a_n, beta, gamma)
             a_mid = (1 - am) * a_new + am * a_n
-            fi, _ = f.internal_force(d_new, history=hist, dt=dt)
+            fi, _ = f.internal_force(d_new, history=hist, dt=dt, cstate=con,
+                                     u_old=d_n if con_on else None)
             fint_mid = (1 - af) * fi + af * fint_n
             r = f.mass_matvec(a_mid) + fint_mid - (
                 (1 - af) * f.external_force(t1, d_new) + af * state["fext"]
@@ -571,13 +629,24 @@ def _make_genalpha_step(f: SolidField, dt: float):
         u = spread(u)
 
         v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
-        fint_new, hist_new = f.internal_force(u, history=hist, dt=dt)
+        con_new = None
+        if con_on:
+            # one augmented-Lagrange multiplier + friction-history update per
+            # step (generalized ALM over the time loop)
+            x = f.coords + u.reshape(-1, f.ndpn)
+            xo = f.coords + d_n.reshape(-1, f.ndpn)
+            con_new = f.contact.update_state(x, con, xo)
+        fint_new, hist_new = f.internal_force(u, history=hist, dt=dt,
+                                              cstate=con_new,
+                                              u_old=d_n if con_on else None)
         new_state = dict(state)
         new_state.update(
             d=u, v=v1, a=a1, t=t1, step=state["step"] + 1,
             fint=fint_new, fext=f.external_force(t1, u),
             hist=hist_new or state["hist"],
         )
+        if con_new is not None:
+            new_state["con"] = con_new
         return new_state, stats
 
     return step

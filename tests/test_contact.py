@@ -96,3 +96,137 @@ def test_contact_inactive_when_separated():
     assert np.abs(d[lower]).max() < 1e-10
     upper_bot = f.disc.node_sets["up_zmin"]
     assert np.allclose(d[upper_bot, 2], -0.005, atol=1e-8)
+
+
+def test_contact_uzawa_zero_gap():
+    """Augmented-Lagrange (Uzawa): the multiplier takes over the contact
+    pressure, so the converged penetration is (much) smaller than the pure
+    penalty penetration sigma/pen (ref: LagrangeStrategy semantics — exact
+    non-penetration at convergence)."""
+    deck = dm.load(f"""
+problem: {{type: structure}}
+structural_dynamic:
+  dynamictype: statics
+  kinem: nonlinear
+  numstep: 4
+  timestep: 0.25
+  maxiter: 40
+  tolres: 1e-8
+  toldisp: 1e-9
+  linesearch: true
+solver: {{method: gmres, precond: block_jacobi, maxiter: 3000, gmres_restart: 100}}
+materials:
+  1: {{type: stvenantkirchhoff, youngs: {E_MOD}, nue: 0.0}}
+functions:
+  1: "t"
+geometry:
+  generator:
+    - {{kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1, name: structure}}
+    - {{kind: box, nx: 3, ny: 3, nz: 2, cell: hex8, mat: 1, name: structure,
+        lo: [0, 0, {1 + GAP0}], hi: [1, 1, {2 + GAP0}], prefix: up_}}
+conditions:
+  dirichlet:
+    - {{nodes: zmin, onoff: [1,1,1], val: [0,0,0]}}
+    - {{nodes: up_zmax, onoff: [1,1,1], val: [0,0,{PUSH}], funct: [0,0,1]}}
+  contact:
+    - {{slave: up_zmin, master: zmax, penalty: 2000.0, strategy: uzawa,
+        uzawa_max_iter: 10, uzawa_tol: 1e-6}}
+""")
+    res = driver.run(deck)
+    f = res.fields["structure"].f
+    d = np.asarray(res.states["structure"]["d"]).reshape(-1, 3)
+    X = f.disc.coords
+    eps_each = (abs(PUSH) - GAP0) / 2.0
+    sigma = E_MOD * eps_each  # ~ 20
+
+    lower_top = f.disc.node_sets["zmax"]
+    upper_bot = f.disc.node_sets["up_zmin"]
+    pen_depth = (X[lower_top, 2] + d[lower_top, 2]).mean() - (
+        X[upper_bot, 2] + d[upper_bot, 2]
+    ).mean()
+    # pure penalty at pen=2000 would penetrate sigma/pen = 1e-2; the
+    # multiplier must cut that by >= 10x
+    assert abs(float(pen_depth)) < 0.1 * sigma / 2000.0 + 2e-4
+    # multiplier approximates the contact pressure (integral = sigma * area)
+    lam = np.asarray(res.states["structure"]["con"][0]["lam"])
+    assert lam.sum() == pytest.approx(sigma * 1.0, rel=0.15)
+    # compression still shared between the blocks
+    uz_top = d[lower_top, 2]
+    assert uz_top.mean() == pytest.approx(-eps_each, rel=0.1)
+
+
+def _friction_deck(mu, push_z=-0.02, push_x=0.05):
+    """One block on a rigid-ish base: press down (step 1-2), drag sideways
+    (steps 3-6)."""
+    return dm.load(f"""
+problem: {{type: structure}}
+structural_dynamic:
+  dynamictype: statics
+  kinem: nonlinear
+  numstep: 6
+  timestep: 1.0
+  maxiter: 40
+  tolres: 1e-7
+  toldisp: 1e-8
+  linesearch: true
+solver: {{method: gmres, precond: block_jacobi, maxiter: 3000, gmres_restart: 100}}
+materials:
+  1: {{type: stvenantkirchhoff, youngs: {E_MOD}, nue: 0.0}}
+functions:
+  1: "min(t/2, 1)"
+  2: "max(0, (t-2)/4)"
+geometry:
+  generator:
+    - {{kind: box, nx: 3, ny: 3, nz: 1, cell: hex8, mat: 1, name: structure,
+        lo: [-0.5, -0.5, -0.3], hi: [1.5, 1.5, 0.0]}}
+    - {{kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1, name: structure,
+        lo: [0, 0, 0.002], hi: [1, 1, 1.002], prefix: up_}}
+conditions:
+  dirichlet:
+    - {{nodes: zmin, onoff: [1,1,1], val: [0,0,0]}}
+    - {{nodes: up_zmax, onoff: [1,1,1], val: [{push_x},0,{push_z}],
+        funct: [2,0,1]}}
+  contact:
+    - {{slave: up_zmin, master: zmax, penalty: 1e4, penalty_t: 1e4,
+        friction_mu: {mu}}}
+""")
+
+
+def test_contact_friction_stick():
+    """High mu: the base of the upper block sticks — its bottom moves far
+    less than its top (the block shears)."""
+    res = driver.run(_friction_deck(mu=2.0))
+    d = np.asarray(res.states["structure"]["d"]).reshape(-1, 3)
+    f = res.fields["structure"].f
+    bot = f.disc.node_sets["up_zmin"]
+    top = f.disc.node_sets["up_zmax"]
+    ux_bot = d[bot, 0].mean()
+    ux_top = d[top, 0].mean()
+    assert ux_top == pytest.approx(0.05, abs=1e-6)
+    # stick: bottom stays near its footprint (elastic tangential penalty
+    # deflection only, bounded by the traction / pen_t)
+    assert abs(ux_bot) < 0.25 * ux_top
+
+
+def test_contact_friction_slip():
+    """Low mu: the upper block slides — bottom follows the top almost
+    rigidly, and the tangential traction is capped at mu * p_n."""
+    res = driver.run(_friction_deck(mu=0.05))
+    d = np.asarray(res.states["structure"]["d"]).reshape(-1, 3)
+    f = res.fields["structure"].f
+    bot = f.disc.node_sets["up_zmin"]
+    top = f.disc.node_sets["up_zmax"]
+    ux_bot = d[bot, 0].mean()
+    ux_top = d[top, 0].mean()
+    # slip: bottom travels with the block (>= 60% of the top motion)
+    assert ux_bot > 0.6 * ux_top
+    # friction cone: |t_t| <= mu * p_n (+small tolerance) node by node
+    con = res.states["structure"]["con"][0]
+    lam_pen = np.asarray(con["tt"])
+    # reconstruct p_n from the final geometry via the force balance instead:
+    # the traction history magnitude must not exceed mu * (pen * |gap|) scale
+    # — use the capped invariant directly
+    tt_norm = np.linalg.norm(lam_pen, axis=1)
+    # normal pressure ~ E * eps_z; eps_z ~ (0.02 - 0.002) / 1.0 capped by gap
+    p_est = E_MOD * (0.02 - 0.002)
+    assert tt_norm.max() <= 0.05 * p_est * 3.0 + 1e-6
