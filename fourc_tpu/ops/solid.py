@@ -36,7 +36,8 @@ from fourc_tpu.ops import common as gm
 
 
 def internal_force(Xe, ue, cell: CellType, material, kinem: str = "nonlinear",
-                   history=None, dt=None, temps=None, impl: str = "auto"):
+                   history=None, dt=None, temps=None, impl: str = "auto",
+                   tech: str = "none"):
     """Internal force for one element block.
 
     Xe: (E, nen, 3) reference coords; ue: (E, nen, 3) displacements.
@@ -51,6 +52,11 @@ def internal_force(Xe, ue, cell: CellType, material, kinem: str = "nonlinear",
     2D and for large cells where the unrolled HLO would explode.
     """
     E, nen, d = Xe.shape
+    if tech == "fbar":
+        if kinem != "nonlinear" or d != 3:
+            raise ValueError("TECH fbar requires 3D nonlinear kinematics")
+        return _internal_force_fbar(Xe, ue, cell, material,
+                                    history=history, dt=dt, temps=temps)
     # unrolled path: big win on TPU (VPU fusion), but its ~5k-op HLO makes
     # compiles much slower — CPU (tests) and compile-sensitive callers
     # (GMG level operators appear many times per step HLO) use einsum
@@ -60,6 +66,75 @@ def internal_force(Xe, ue, cell: CellType, material, kinem: str = "nonlinear",
                                         history=history, dt=dt, temps=temps)
     return _internal_force_einsum(Xe, ue, cell, material, kinem=kinem,
                                   history=history, dt=dt, temps=temps)
+
+
+def _internal_force_fbar(Xe, ue, cell: CellType, material,
+                         history=None, dt=None, temps=None):
+    """F-bar internal force (spatial de Souza Neto form).
+
+    Counterpart of the reference's F-bar solid formulation
+    (ref: src/solid_3D_ele/4C_solid_3D_ele_calc_fbar.hpp — TECH fbar on
+    SOLID HEX8): the volumetric part of F is replaced by its element-
+    centroid value, F_bar = (J0/J)^(1/3) F, curing volumetric locking of
+    low-order elements at (near-)incompressibility.
+
+    Force: f_a = sum_g w detJ_ref J sigma_bar(F_bar) . grad_x N_a — the
+    standard spatial form with the stress evaluated at F_bar (the current
+    volume measure J dV keeps the REAL F).  The consistent (nonsymmetric)
+    F-bar tangent is jax.jvp through this function — no hand-coded
+    linearization of the (J0/J)^(1/3) factor needed.
+
+    GL strain of F_bar is formed cancellation-free: with s = (J0/J)^(1/3),
+    E_bar = s^2 E_H + (s^2 - 1)/2 I and s^2 - 1 = expm1((2/3) log(J0/J)).
+    """
+    E, nen, d = Xe.shape
+    Xt = jnp.transpose(Xe, (1, 2, 0))  # (nen, 3, E)
+    ut = jnp.transpose(ue, (1, 2, 0))
+    G, detJ = gm.iso_gradients_el(Xt, cell.dN)  # (g,a,3,E), (g,E)
+    import numpy as np
+
+    dN0 = cell.eval_shape_deriv(np.zeros(d))[None]  # (1, a, 3) centroid
+    G0, _ = gm.iso_gradients_el(Xt, dN0)
+    w = jnp.asarray(cell.gauss_weights, Xe.dtype)
+    wdet = detJ * w[:, None]  # (g, E)
+
+    H = gm.grad_field_el(ut, G)  # (3, 3, g, E)
+    H0 = gm.grad_field_el(ut, G0)[:, :, 0]  # (3, 3, E)
+    F = H + gm.eye3l(H)
+    F0 = H0 + gm.eye3l(H0)
+    J = gm.det3l(F)  # (g, E)
+    J0 = gm.det3l(F0)  # (E,)
+
+    lr = (2.0 / 3.0) * (jnp.log(J0)[None] - jnp.log(J))  # (g, E)
+    s2m1 = jnp.expm1(lr)
+    s2 = 1.0 + s2m1
+    E_H = 0.5 * (H + jnp.swapaxes(H, 0, 1) + jnp.einsum("kigE,kjgE->ijgE", H, H))
+    Ebar = s2 * E_H + 0.5 * s2m1 * gm.eye3l(E_H)
+
+    g = G.shape[0]
+    M = g * E
+    hist_flat = None
+    if history is not None:
+        hist_flat = jnp.transpose(history, (1, 0, 2)).reshape(M, -1)
+    temps_flat = None
+    if temps is not None:
+        temps_flat = jnp.transpose(temps, (1, 0)).reshape(M)
+    S, hist_new = _stress_pk2(material, Ebar.reshape(3, 3, M), hist_flat, dt,
+                              temps_flat)
+    S = S.reshape(3, 3, g, E)
+
+    s1 = jnp.exp(lr / 2.0)  # s = (J0/J)^(1/3)
+    Fbar = s1 * F
+    # Kirchhoff-like measure: J sigma_bar = (J/J0) Fbar S Fbar^T
+    tau = jnp.einsum("ikgE,klgE,jlgE->ijgE", Fbar, S, Fbar) * (
+        J / J0[None])[None, None]
+    Finv = gm.inv3l(F)
+    gx = jnp.einsum("gakE,kjgE->gajE", G, Finv)  # spatial gradients
+    f = jnp.einsum("gE,ijgE,gajE->aiE", wdet, tau, gx)
+    fout = jnp.transpose(f, (2, 0, 1))
+    if hist_new is not None:
+        hist_new = jnp.transpose(hist_new.reshape(g, E, -1), (1, 0, 2))
+    return fout, hist_new
 
 
 def _det3s(a):
@@ -102,7 +177,7 @@ def _gp_stress(material, arg, kinem, history, g, dt, temps):
                 fn2 = fn
             return jax.vmap(fn2, in_axes=(-1, 0), out_axes=(-1, 0))(arg, history[:, g])
         return material.stress_small(arg), None
-    if (getattr(material, "kind", "solid") in ("thermo_solid", "scatra_solid")
+    if (getattr(material, "kind", "solid") in ("thermo_solid", "scatra_solid", "poro_solid")
             and temps is not None):
         return material.pk2_from_E(arg, temps[:, g]), None
     if history is not None:
@@ -225,7 +300,7 @@ def _internal_force_einsum(Xe, ue, cell: CellType, material, kinem: str = "nonli
 
 def _stress_pk2(material, Egl, history, dt, temps=None):
     """Egl: GL strain (3, 3, M) -> (S (3, 3, M), history' or None)."""
-    if (getattr(material, "kind", "solid") in ("thermo_solid", "scatra_solid")
+    if (getattr(material, "kind", "solid") in ("thermo_solid", "scatra_solid", "poro_solid")
             and temps is not None):
         return material.pk2_from_E(Egl, temps), None
     if history is not None:

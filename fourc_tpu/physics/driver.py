@@ -51,6 +51,14 @@ def run(deck_src, callbacks=None) -> RunResult:
 
         return structure_driver.run(deck, callbacks=callbacks)
     if ptype in ("scatra", "elch"):
+        if ptype == "elch" and any(
+            str(spec.get("type", "")).lower() == "elchmat"
+            for spec in deck.materials.values()
+        ):
+            # multi-species Nernst-Planck + potential (ENC closure)
+            from fourc_tpu.physics import elch_driver
+
+            return elch_driver.run(deck, callbacks)
         from fourc_tpu.physics import scalar_driver
 
         return scalar_driver.run_scatra(deck, callbacks=callbacks)
@@ -70,6 +78,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import fsi_driver
 
         return fsi_driver.run(deck, callbacks=callbacks)
+    if ptype == "poroelasticity":
+        from fourc_tpu.physics import poro_driver
+
+        return poro_driver.run(deck, callbacks)
     if ptype == "ssi":
         from fourc_tpu.physics import ssi_driver
 

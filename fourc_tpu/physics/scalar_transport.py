@@ -133,9 +133,9 @@ class ScalarField:
     def _mat_props(self, key):
         m = self.block_mat[key]
         kind = getattr(m, "kind", "scatra")
-        if kind in ("scatra", "scatra_solid"):
+        if kind in ("scatra", "scatra_solid", "poro_solid"):
             # d phi/dt (capacity 1 unless the coupled material says otherwise)
-            rhoc = float(getattr(m, "capacity", 1.0) or 1.0) if kind == "scatra_solid" else 1.0
+            rhoc = float(getattr(m, "capacity", 1.0) or 1.0) if kind in ("scatra_solid", "poro_solid") else 1.0
             diff = m.diff()
             reaction = m.reaction
         else:  # thermo / thermo_solid: rho c dT/dt = div(k grad T)
