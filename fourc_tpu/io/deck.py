@@ -194,6 +194,17 @@ DECK_SPEC = {
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
     ),
+    "lubrication_dynamic": group(
+        {
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "viscosity": param(float, 1.0, doc="dynamic viscosity mu"),
+            "height_funct": param(int, 1, doc="film thickness h(x,t) FUNCT id"),
+            "velocity": None,  # relative sliding velocity [Ux, Uy]
+            "tolres": param(float, 1e-10),
+        },
+        doc="LUBRICATION DYNAMIC (Reynolds thin-film equation)",
+    ),
     "poroelasticity_dynamic": group(
         {
             "coupling": param(str, "monolithic", choices=("oneway", "partitioned", "monolithic")),
