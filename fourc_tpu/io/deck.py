@@ -144,6 +144,8 @@ def _dyn_spec(default_dyntype, dyntypes):
             ),
             "velocity": None,  # convective velocity expressions (scatra)
             "initialfield_funct": param(int, 0, doc="initial field function id"),
+            "smagorinsky_cs": param(float, 0.0,
+                                    doc="LES Smagorinsky constant (fluid; 0=off)"),
         },
         doc="field time integration",
     )

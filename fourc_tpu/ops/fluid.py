@@ -72,6 +72,7 @@ def residual(
     graddiv: bool = True,
     newton_convective: bool = True,
     grid_vel=None,
+    smagorinsky_cs: float = 0.0,
 ):
     """Element residual: (f_mom (e, nen, d), f_cont (e, nen)).
 
@@ -108,13 +109,25 @@ def residual(
         f_mom = f_mom - jnp.einsum("eg,ga,egi->eai", wdet, N, rho * body_gp)
     f_mom = f_mom - jnp.einsum("eg,egai,eg->eai", wdet, G, p)
     eps = 0.5 * (gradu + jnp.swapaxes(gradu, -1, -2))
+    mu_eff = mu
+    if smagorinsky_cs:
+        # Smagorinsky LES eddy viscosity (ref: src/fluid_ele turbulence
+        # models / fluid_turbulence dynamic Smagorinsky — the constant-Cs
+        # variant): nu_t = (Cs * Delta)^2 |S|, Delta = volume-based h
+        vol = jnp.sum(wdet, axis=1)
+        delta = jnp.broadcast_to((vol ** (1.0 / dim))[:, None], wdet.shape)
+        snorm = jnp.sqrt(2.0 * jnp.einsum("egij,egij->eg", eps, eps) + 1e-30)
+        mu_eff = mu + rho * (smagorinsky_cs * delta) ** 2 * snorm
+        f_mom = f_mom + 2.0 * jnp.einsum(
+            "eg,eg,egij,egaj->eai", wdet, mu_eff - mu, eps, G)
     f_mom = f_mom + 2.0 * mu * jnp.einsum("eg,egij,egaj->eai", wdet, eps, G)
 
     # Galerkin continuity: q div u
     f_cont = jnp.einsum("eg,ga,eg->ea", wdet, N, divu)
 
     if supg or pspg or graddiv:
-        tau_m, tau_c = stab_params(c, mu, rho, G, wdet, dim, dt)
+        tau_m, tau_c = stab_params(
+            c, jax.lax.stop_gradient(mu_eff), rho, G, wdet, dim, dt)
     if supg:
         ugw = jnp.einsum("egd,egad->ega", c, G)  # (c . grad) w_a
         f_mom = f_mom + rho * jnp.einsum("eg,eg,ega,egi->eai", wdet, tau_m, ugw, R_M)

@@ -39,6 +39,7 @@ class FluidParams:
     supg: bool = True
     pspg: bool = True
     graddiv: bool = True
+    smagorinsky_cs: float = 0.0  # LES constant-Smagorinsky Cs (0 = laminar)
     initial_funct: int = 0
     divercont: str = "stop"
     max_halvings: int = 5
@@ -142,7 +143,7 @@ class FluidField:
                 mu=float(m.visc()), rho=float(m.density),
                 body_gp=self.body_at_gps(key, t), dt=dt,
                 supg=p.supg, pspg=p.pspg, graddiv=p.graddiv,
-                grid_vel=gv,
+                grid_vel=gv, smagorinsky_cs=p.smagorinsky_cs,
             )
             fe = jnp.concatenate([f_mom, f_cont[..., None]], axis=-1)
             per_block[key] = fe.reshape(fe.shape[0], -1)
