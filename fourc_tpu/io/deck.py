@@ -138,6 +138,9 @@ def _dyn_spec(default_dyntype, dyntypes):
             "m_damp": param(float, 0.0, doc="Rayleigh mass damping"),
             "k_damp": param(float, 0.0, doc="Rayleigh stiffness damping"),
             "linesearch": param(bool, False),
+            "nlnsol": param(str, "fullnewton", choices=("fullnewton", "ptc"),
+                            doc="nonlinear solver (ref NLNSOL)"),
+            "ptc_dt0": param(float, 1.0, doc="PTC initial pseudo time step"),
             "stab": param(
                 str, "taylor", choices=("zero", "taylor", "franca_valentin"),
                 doc="SUPG tau definition (scalar transport; ref STABTYPE/DEFINITION_TAU)",

@@ -204,4 +204,6 @@ def newton_params_from(dyn: dict, solver: dict) -> NewtonParams:
         lin_adaptive=solver["adaptive"],
         gmres_restart=solver["gmres_restart"],
         line_search=dyn.get("linesearch", False),
+        ptc=dyn.get("nlnsol", "fullnewton") == "ptc",
+        ptc_dt0=dyn.get("ptc_dt0", 1.0),
     )

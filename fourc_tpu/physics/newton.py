@@ -46,6 +46,13 @@ class NewtonParams:
     gmres_restart: int = 50
     line_search: bool = False
     ls_max_halvings: int = 4
+    # pseudo-transient continuation (ref: Solid::Nln::SOLVER ptc,
+    # 4C_structure_new_nln_solver_ptc.*): augment the tangent with a
+    # pseudo-mass 1/dt_ptc * I and grow dt_ptc by SER (switched-evolution
+    # relaxation) as the residual drops — globalizes Newton far from the
+    # solution, reduces to plain Newton as dt_ptc -> inf.
+    ptc: bool = False
+    ptc_dt0: float = 1.0  # initial pseudo time step
 
 
 def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
@@ -65,16 +72,21 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
     def masked_res(u):
         return jnp.where(mask, residual_fn(u), 0.0)
 
-    def make_op(u):
+    def make_op(u, sigma=None):
         if matvec_fn is not None:
             def A(v):
                 vm = jnp.where(mask, v, 0.0)
-                return jnp.where(mask, matvec_fn(u, vm), v)
+                out = matvec_fn(u, vm)
+                if sigma is not None:
+                    out = out + sigma * vm
+                return jnp.where(mask, out, v)
             return A
 
         def A(v):
             vm = jnp.where(mask, v, 0.0)
             _, jv = jax.jvp(residual_fn, (u,), (vm,))
+            if sigma is not None:
+                jv = jv + sigma * vm
             return jnp.where(mask, jv, v)
 
         return A
@@ -88,14 +100,14 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
         return jnp.logical_and(jnp.asarray(k) >= 2, rnorm > params.stag_tol * rprev)
 
     def cond(state):
-        u, r, rnorm, dnorm, k, lin_tot, rprev = state
+        u, r, rnorm, dnorm, k, lin_tot, rprev, sigma = state
         unconv = jnp.logical_not(_converged(rnorm, dnorm, params, rnorm0, k))
         go = jnp.logical_and(k < params.max_iter, unconv)
         return jnp.logical_and(go, jnp.logical_not(_stagnated(rnorm, rprev, k)))
 
     def body(state):
-        u, r, rnorm, dnorm, k, lin_tot, rprev = state
-        A = make_op(u)
+        u, r, rnorm, dnorm, k, lin_tot, rprev, sigma = state
+        A = make_op(u, sigma if params.ptc else None)
         if params.lin_adaptive:
             eta = jnp.clip(jnp.sqrt(rnorm / jnp.maximum(rnorm0, 1e-300)), params.lin_rtol, 1e-1)
         else:
@@ -132,19 +144,26 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
             u_new = u + du
 
         r_new = masked_res(u_new)
+        rnorm_new = jnp.linalg.norm(r_new)
+        if params.ptc:
+            # SER: dt_ptc *= ||r_old|| / ||r_new||  (sigma = 1/dt_ptc)
+            sigma = sigma * rnorm_new / jnp.maximum(rnorm, 1e-300)
         return (
             u_new,
             r_new,
-            jnp.linalg.norm(r_new),
+            rnorm_new,
             jnp.linalg.norm(du),
             k + 1,
             lin_tot + res.iters,
             rnorm,
+            sigma,
         )
 
+    sigma0 = jnp.asarray(1.0 / params.ptc_dt0 if params.ptc else 0.0,
+                         rnorm0.dtype)
     init = (u0, r0, rnorm0, jnp.asarray(0.0, u0.dtype), 0, 0,
-            jnp.asarray(jnp.inf, rnorm0.dtype))
-    u, r, rnorm, dnorm, k, lin_tot, rprev = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(jnp.inf, rnorm0.dtype), sigma0)
+    u, r, rnorm, dnorm, k, lin_tot, rprev, _ = jax.lax.while_loop(cond, body, init)
     conv = _converged(rnorm, dnorm, params, rnorm0, k)
     if params.stag_tol:
         # stagnation at the roundoff floor counts as converged when the

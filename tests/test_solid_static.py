@@ -173,3 +173,41 @@ conditions:
     top = f.disc.node_sets["zmax"]
     uz = np.asarray(st["d"]).reshape(-1, 3)[top, 2]
     assert uz.mean() == pytest.approx(-0.01, rel=0.02)
+
+
+def test_ptc_matches_full_newton():
+    """Pseudo-transient continuation (ref: nln solver PTC) converges to the
+    same equilibrium as full Newton; SER drives the pseudo time step to
+    infinity so the final state is the true statics solution."""
+    import numpy as np
+
+    base = """
+problem: {type: structure}
+structural_dynamic:
+  dynamictype: statics
+  kinem: nonlinear
+  numstep: 1
+  maxiter: 60
+  tolres: 1e-9
+  toldisp: 1e-10
+  nlnsol: %s
+solver: {method: cg, precond: block_jacobi, maxiter: 2000}
+materials:
+  1: {type: neohooke, youngs: 200.0, nue: 0.3}
+functions:
+  1: "t"
+geometry:
+  generator:
+    - {kind: box, nx: 4, ny: 2, nz: 2, cell: hex8, mat: 1, name: structure,
+        lo: [0, 0, 0], hi: [2, 1, 1]}
+conditions:
+  dirichlet:
+    - {nodes: xmin, onoff: [1,1,1], val: [0,0,0]}
+  neumann:
+    - {faces: xmax, onoff: [0,0,1], val: [0,0,-12.0], funct: [0,0,1]}
+"""
+    r_newton = driver.run(dm.load(base % "fullnewton"))
+    r_ptc = driver.run(dm.load(base % "ptc"))
+    d_n = np.asarray(r_newton.states["structure"]["d"])
+    d_p = np.asarray(r_ptc.states["structure"]["d"])
+    assert np.allclose(d_n, d_p, atol=1e-7)
