@@ -241,3 +241,29 @@ def _add_box_sets_2d(disc: Discretization, lo, hi):
             lines = np.stack([ids_sorted[:-1], ids_sorted[1:]], axis=1).astype(np.int32)
             disc.face_sets[nm] = [FaceBlock("line2", lines)]
     disc.node_sets["all"] = np.arange(disc.n_nodes, dtype=np.int32)
+
+
+def sheet(
+    nx: int,
+    ny: int,
+    origin=(0.0, 0.0, 0.0),
+    u=(1.0, 0.0, 0.0),
+    v=(0.0, 1.0, 0.0),
+    cell: str = "quad4",
+    name: str = "structure",
+    mat_id: int = 1,
+) -> Discretization:
+    """Flat membrane/shell sheet embedded in 3D: origin + s*u + t*v,
+    (s, t) in [0, 1]^2.  Node/edge sets named like the 2D rectangle
+    (xmin/xmax = u-direction extremes, ymin/ymax = v-direction)."""
+    d2 = rectangle(nx, ny, lo=(0.0, 0.0), hi=(1.0, 1.0), cell=cell,
+                   name=name, mat_id=mat_id)
+    st = d2.coords  # (n, 2) in unit square
+    o = np.asarray(origin, float)
+    uu = np.asarray(u, float)
+    vv = np.asarray(v, float)
+    coords3 = o[None, :] + st[:, :1] * uu[None, :] + st[:, 1:2] * vv[None, :]
+    d3 = Discretization(name=name, coords=coords3, blocks=d2.blocks,
+                        node_sets=d2.node_sets, face_sets=d2.face_sets)
+    d3.structured_shape = None
+    return d3

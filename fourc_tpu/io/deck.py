@@ -343,6 +343,13 @@ def _build_geometry(geo: dict, cfg) -> dict:
                     int(g.pop("n")), p0=tuple(g.pop("p0", (0, 0, 0))),
                     p1=tuple(g.pop("p1", (1, 0, 0))), name=name, mat_id=mat,
                 )
+            elif kind == "sheet":
+                d = gridgen.sheet(
+                    int(g.pop("nx")), int(g.pop("ny")),
+                    origin=tuple(g.pop("origin", (0, 0, 0))),
+                    u=tuple(g.pop("u", (1, 0, 0))), v=tuple(g.pop("v", (0, 1, 0))),
+                    cell=g.pop("cell", "quad4"), name=name, mat_id=mat,
+                )
             elif kind == "rectangle":
                 d = gridgen.rectangle(
                     int(g.pop("nx")), int(g.pop("ny")),

@@ -111,3 +111,24 @@ class MooneyRivlin(HyperelasticMaterial):
         I1b = I1 * J2 ** (-1.0 / 3.0)
         I2b = I2 * J2 ** (-2.0 / 3.0)
         return self.c1 * (I1b - 3.0) + self.c2 * (I2b - 3.0) + 0.5 * self.kappa * (J - 1.0) ** 2
+
+
+@register_material("membrane")
+@dataclass
+class MembraneSVK(HyperelasticMaterial):
+    """Plane-stress SVK membrane material + element thickness.
+
+    Counterpart of the reference's membrane elements (ref: src/membrane —
+    `MEMBRANE4` elements carry the thickness on the element line; the
+    plane-stress condition is enforced in 4C_membrane_evaluate.cpp).  Here
+    thickness rides on the material since a membrane block is homogeneous.
+    """
+
+    kind = "membrane"
+    youngs: float
+    nue: float
+    thickness: float = 1.0
+    density: float = 0.0
+
+    def psi(self, C):  # not used (membrane kernel is 2D curvilinear)
+        raise NotImplementedError("membrane material is element-bound")

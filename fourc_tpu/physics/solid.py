@@ -205,6 +205,15 @@ class SolidField:
             ue = dm.gather(u, key)
             h = None if history is None else history.get(key)
             tg = None if temps is None else temps.get(key)
+            if self._is_membrane(key):
+                from fourc_tpu.ops import membrane as mops
+
+                m = self.block_mat[key]
+                fe = mops.internal_force(self.block_X[key], ue,
+                                         self._cell(key), m, m.thickness)
+                hn = None
+                per_block[key] = fe.reshape(fe.shape[0], -1)
+                continue
             fe, hn = ops.internal_force(
                 self.block_X[key], ue, self._cell(key),
                 self.block_mat[key], kinem=self.params.kinem, history=h, dt=dt,
@@ -227,6 +236,12 @@ class SolidField:
         from fourc_tpu.core.cells import get_cell
 
         return get_cell(self.dofmap.blocks[key].cell)
+
+    def _is_membrane(self, key):
+        """2D cells carrying a membrane material in a 3D field (ref:
+        src/membrane elements)."""
+        return (getattr(self.block_mat[key], "kind", "") == "membrane"
+                and self.ndpn == 3)
 
     def external_force(self, t, u=None):
         """Global external force at time t (Neumann + point + body loads)."""
@@ -298,7 +313,14 @@ class SolidField:
         dm = self.dofmap
         per_block = {}
         for key in dm.blocks:
-            m = ops.lumped_mass(self.block_X[key], self._cell(key), self._density[key])
+            if self._is_membrane(key):
+                from fourc_tpu.ops import membrane as mops
+
+                mat = self.block_mat[key]
+                m = mops.lumped_mass(self.block_X[key], self._cell(key),
+                                     self._density[key] * mat.thickness)
+            else:
+                m = ops.lumped_mass(self.block_X[key], self._cell(key), self._density[key])
             per_block[key] = jnp.repeat(m, self.ndpn, axis=-1).reshape(m.shape[0], -1)
         return dm.scatter_add(per_block)
 
@@ -335,15 +357,29 @@ class SolidField:
             cell = self._cell(key)
             ue = dm.gather(u, key)
             h = None if history is None else history.get(key)
-            Ke = ops.element_stiffness(
-                self.block_X[key], ue, cell, self.block_mat[key],
-                kinem=self.params.kinem, history=h, dt=dt,
-            )  # (e, nen*d, nen*d)
+            if self._is_membrane(key):
+                from fourc_tpu.ops import membrane as mops
+
+                mat = self.block_mat[key]
+                Ke = mops.element_stiffness(self.block_X[key], ue, cell, mat,
+                                            mat.thickness)
+            else:
+                Ke = ops.element_stiffness(
+                    self.block_X[key], ue, cell, self.block_mat[key],
+                    kinem=self.params.kinem, history=h, dt=dt,
+                )  # (e, nen*d, nen*d)
             nen = cell.nen
             Ke = Ke.reshape(-1, nen, d, nen, d)
             diag_blocks = jnp.einsum("eaiaj->eaij", Ke)  # (e, nen, d, d)
             if mass_shift:
-                m = ops.lumped_mass(self.block_X[key], cell, self._density[key])
+                if self._is_membrane(key):
+                    from fourc_tpu.ops import membrane as mops
+
+                    m = mops.lumped_mass(self.block_X[key], cell,
+                                         self._density[key]
+                                         * self.block_mat[key].thickness)
+                else:
+                    m = ops.lumped_mass(self.block_X[key], cell, self._density[key])
                 eye = jnp.eye(d, dtype=m.dtype)
                 diag_blocks = diag_blocks + mass_shift * m[..., None, None] * eye
             conn = dm.blocks[key].conn
