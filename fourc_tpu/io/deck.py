@@ -162,7 +162,7 @@ DECK_SPEC = {
                 str, "structure",
                 choices=("structure", "scatra", "thermo", "fluid", "tsi", "ale",
                          "fsi", "ssi", "particle", "lubrication", "elch",
-                         "poroelasticity"),
+                         "poroelasticity", "cardiovascular0d"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -198,6 +198,19 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "cardiovascular0d": group(
+        {
+            "surface": param(str, None, doc="closed coupling surface face set"),
+            "resistance": param(float, 1.0),
+            "compliance": param(float, 1.0),
+            "p0": param(float, 0.0, doc="initial 0D pressure"),
+            "q_in_funct": param(int, 0, doc="inflow Q_in(t) FUNCT id"),
+            "scale_0d": param(float, 1.0, doc="0D residual row scaling"),
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+        },
+        doc="CARDIOVASCULAR 0D-STRUCTURE COUPLING (Windkessel)",
     ),
     "lubrication_dynamic": group(
         {

@@ -82,6 +82,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import poro_driver
 
         return poro_driver.run(deck, callbacks)
+    if ptype == "cardiovascular0d":
+        from fourc_tpu.physics import cardio0d_driver
+
+        return cardio0d_driver.run(deck, callbacks)
     if ptype == "lubrication":
         from fourc_tpu.physics import lubrication_driver
 
