@@ -22,6 +22,7 @@ def build_field(deck, disc_name="structure"):
 
     params = ps.SolidParams(
         kinem=dyn["kinem"],
+        tech=dyn["tech"],
         dyntype=dyn["dynamictype"],
         dt=dyn["timestep"],
         n_steps=dyn["numstep"],
