@@ -141,7 +141,11 @@ class BeamSection(Material):
     kind = "beam"
 
     def __init__(self, youngs, nue=0.3, density=0.0, area=1.0, iyy=1.0,
-                 izz=1.0, torsion_j=None, shear_area=0.0):
+                 izz=1.0, torsion_j=None, shear_area=0.0,
+                 formulation="linear"):
+        # formulation: "linear" (exact-stiffness Timoshenko small rotations)
+        # or "reissner" (geometrically exact Simo-Reissner, ref beam3r)
+        self.formulation = str(formulation)
         self.youngs = float(youngs)
         self.nue = float(nue)
         self.density = float(density)

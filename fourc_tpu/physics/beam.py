@@ -39,6 +39,7 @@ class BeamField:
 
         self.block_K = {}
         self.block_M = {}
+        self.block_gex = {}  # geometrically exact force builders
         for key, blk in disc.blocks.items():
             if blk.cell != "line2":
                 raise ValueError("BeamField supports line2 elements")
@@ -47,11 +48,21 @@ class BeamField:
             Kg, Ls = ops.build_element_matrices(Xe, mat)
             self.block_K[key] = jnp.asarray(Kg)
             self.block_M[key] = ops.lumped_mass(jnp.asarray(Ls), mat)
+            if getattr(mat, "formulation", "linear") == "reissner":
+                from fourc_tpu.ops import beam_gex
 
-    def internal_force(self, u, history=None, dt=None, temps=None):
+                self.block_gex[key] = beam_gex.make_internal_force(Xe, mat)
+
+    def internal_force(self, u, history=None, dt=None, temps=None,
+                       cstate=None, u_old=None):
         dm = self.dofmap
         per_block = {}
         for key in dm.blocks:
+            if key in self.block_gex:
+                ue6 = dm.gather(u, key)  # (E, 2, 6)
+                fe = self.block_gex[key](ue6)
+                per_block[key] = fe.reshape(fe.shape[0], -1)
+                continue
             ue = dm.gather(u, key).reshape(-1, 12)
             per_block[key] = ops.internal_force(self.block_K[key], ue)
         return dm.scatter_add(per_block), None
@@ -84,6 +95,36 @@ class BeamField:
     def build_preconditioner(self, u=None, history=None, dt=None, mass_shift=0.0):
         from fourc_tpu.linalg.precond import jacobi
 
+        # beams are slender 1D chains: the tangent condition grows like
+        # (L/h)^2 (EA vs EI/L^2) and Jacobi-Krylov stalls.  For moderate
+        # sizes, use the INVERSE of the assembled linear stiffness (exact
+        # for the linear formulation, spectrally equivalent for Reissner)
+        # — the analog of the reference's direct solver on beam problems.
+        if self.ndof <= 6000:
+            key_ = (round(float(mass_shift), 12),)
+            cache = getattr(self, "_pc_cache", {})
+            if key_ not in cache:
+                K = np.zeros((self.ndof, self.ndof))
+                for key, blk in self.dofmap.blocks.items():
+                    conn = np.asarray(self.disc.blocks[key].conn)
+                    Ke = np.asarray(self.block_K[key])  # (E, 12, 12)
+                    dof = (conn[:, :, None] * 6 + np.arange(6)[None, None]) \
+                        .reshape(-1, 12)
+                    for e in range(dof.shape[0]):
+                        ix = dof[e]
+                        K[np.ix_(ix, ix)] += Ke[e]
+                    if mass_shift:
+                        Me = np.asarray(self.block_M[key])
+                        np.add.at(K, (dof.reshape(-1), dof.reshape(-1)),
+                                  mass_shift * Me.reshape(-1))
+                free = np.asarray(self.dbc.free_mask)
+                K[~free, :] = 0.0
+                K[:, ~free] = 0.0
+                K[~free, ~free] = 1.0
+                cache[key_] = jnp.asarray(np.linalg.inv(K))
+                self._pc_cache = cache
+            Kinv = cache[key_]
+            return lambda r: Kinv @ r
         dm = self.dofmap
         per_block = {}
         for key in dm.blocks:

@@ -626,7 +626,7 @@ def _make_genalpha_step(f: SolidField, dt: float):
     if f.params.host_newton:
         return _make_genalpha_step_host(f, dt, M_gmg)
 
-    con_on = f.contact is not None and f.contact.stateful
+    con_on = getattr(f, "contact", None) is not None and f.contact.stateful
 
     def step(state):
         t1 = state["t"] + dt
