@@ -459,12 +459,21 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
             elif key == "body_force":
                 f["body_force"].append(BodyForce(val=item["val"], funct=item.get("funct")))
             elif key == "meshtying":
-                f.setdefault("meshtying", []).append(
-                    {
-                        "slave_nodes": _resolve_nodes(disc, item["slave"]),
-                        "master_nodes": _resolve_nodes(disc, item["master"]),
-                    }
-                )
+                if "slave_faces" in item:  # non-matching mortar interface
+                    f.setdefault("meshtying", []).append(
+                        {
+                            "slave_faces": _resolve_faces(disc, item["slave_faces"]),
+                            "master_faces": _resolve_faces(disc, item["master_faces"]),
+                            "mortar": True,
+                        }
+                    )
+                else:
+                    f.setdefault("meshtying", []).append(
+                        {
+                            "slave_nodes": _resolve_nodes(disc, item["slave"]),
+                            "master_nodes": _resolve_nodes(disc, item["master"]),
+                        }
+                    )
             elif key == "contact":
                 from fourc_tpu.contact.penalty import ContactCondition
 

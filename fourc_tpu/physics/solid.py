@@ -171,13 +171,35 @@ class SolidField:
 
         self.ties = None
         if meshtying:
-            from fourc_tpu.coupling.meshtying import TiedDofs, match_pairs
+            meshtying = list(meshtying)
+            mortars = [mt for mt in meshtying if mt.get("mortar")]
+            conforming = [mt for mt in meshtying if not mt.get("mortar")]
+            if mortars and conforming:
+                raise NotImplementedError("mix of mortar and conforming ties")
+            if mortars:
+                from fourc_tpu.coupling.mortar import (MortarTies,
+                                                       mortar_interpolation)
 
-            pairs = np.concatenate(
-                [match_pairs(disc.coords, mt["slave_nodes"], mt["master_nodes"])
-                 for mt in meshtying], axis=0,
-            )
-            self.ties = TiedDofs(pairs, self.ndpn, disc.n_nodes)
+                sn, mids, ws = [], [], []
+                for mt in mortars:
+                    a, b, c = mortar_interpolation(
+                        disc.coords, mt["slave_faces"], mt["master_faces"])
+                    sn.append(a); mids.append(b); ws.append(c)
+                K = max(m.shape[1] for m in mids)
+                mids = [np.pad(m, ((0, 0), (0, K - m.shape[1]))) for m in mids]
+                ws = [np.pad(w, ((0, 0), (0, K - w.shape[1]))) for w in ws]
+                self.ties = MortarTies(np.concatenate(sn),
+                                       np.concatenate(mids),
+                                       np.concatenate(ws),
+                                       self.ndpn, disc.n_nodes)
+            else:
+                from fourc_tpu.coupling.meshtying import TiedDofs, match_pairs
+
+                pairs = np.concatenate(
+                    [match_pairs(disc.coords, mt["slave_nodes"], mt["master_nodes"])
+                     for mt in meshtying], axis=0,
+                )
+                self.ties = TiedDofs(pairs, self.ndpn, disc.n_nodes)
             # tied slave dofs behave like constrained dofs for the solver
             self.dbc.free_mask = jnp.logical_and(
                 self.dbc.free_mask, jnp.logical_not(self.ties.slave_mask)
