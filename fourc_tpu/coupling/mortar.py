@@ -11,16 +11,17 @@ interpolation operator
 
     u_slave = W u_master,      W = D^{-1} M
 
-with DUAL (lumped, diagonal) D — the same choice the reference's condensed
-dual-LM strategies use, which makes the condensation explicit:
+with CONSISTENT slave-side D (dense solve at setup — interface counts are
+tiny next to the volume problem):
 
-    D_ss  = sum_faces int N_s dA            (slave-side row sums)
-    M_sm  = sum_faces int N_s N_m(proj) dA  (Gauss points projected onto
-                                             the master surface)
+    D_ss' = sum_segments int N_s N_s' dA    (slave-side interface mass)
+    M_sm  = sum_segments int N_s N_m dA     (clipped slave x master
+                                             segments, triangle quadrature)
 
-The runtime coupling is then matrix-free: residual condensation
+The runtime coupling is matrix-free: residual condensation
 r_m += W^T r_s, r_s = 0, with u_s = W u_m (coupling/meshtying.py pattern).
-Mortar with dual-lumped D passes the flat-interface patch test exactly.
+Consistent D reproduces linear interface fields; the flat-interface patch
+test is exact.
 """
 
 from __future__ import annotations
