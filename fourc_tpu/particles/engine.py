@@ -52,7 +52,11 @@ def dem_forces(x, v, radii, params: DemParams, walls=()):
     vn = jnp.sum(vrel * n, axis=-1)
     fmag = jnp.where(active, params.k_normal * overlap - params.damp_normal * vn, 0.0)
     f = jnp.sum(fmag[..., None] * n, axis=1)
+    return f + _wall_forces(x, v, radii, params, walls)
 
+
+def _wall_forces(x, v, radii, params, walls):
+    f = jnp.zeros_like(x)
     for point, normal in walls:
         nw = jnp.asarray(normal, x.dtype)
         nw = nw / jnp.linalg.norm(nw)

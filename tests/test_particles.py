@@ -71,3 +71,52 @@ def test_sph_momentum_conservation():
         state = step(state, 1e-4)
     p1 = (np.asarray(masses)[:, None] * np.asarray(state["v"])).sum(axis=0)
     assert np.abs(p1 - p0).max() < 1e-10
+
+
+def test_gridhash_matches_allpairs_dem():
+    """Grid-hash DEM forces == all-pairs forces (cell >= interaction range)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fourc_tpu.particles import engine as pe
+    from fourc_tpu.particles import gridhash as gh
+
+    rng = np.random.default_rng(3)
+    N = 200
+    x = rng.uniform(0, 2.0, (N, 3))
+    v = rng.normal(0, 0.1, (N, 3))
+    radii = np.full(N, 0.06)
+    params = pe.DemParams(k_normal=1e3, damp_normal=2.0)
+    grid = gh.GridHash([0, 0, 0], [2, 2, 2], cell_size=0.15, max_per_cell=16)
+    assert grid.occupancy_check(x) <= 16
+    f_ap = np.asarray(pe.dem_forces(jnp.asarray(x), jnp.asarray(v),
+                                    jnp.asarray(radii), params))
+    f_gh = np.asarray(gh.dem_forces_grid(jnp.asarray(x), jnp.asarray(v),
+                                         jnp.asarray(radii), params, grid))
+    assert np.allclose(f_ap, f_gh, atol=1e-10)
+
+
+def test_gridhash_matches_allpairs_sph():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fourc_tpu.particles import engine as pe
+    from fourc_tpu.particles import gridhash as gh
+
+    rng = np.random.default_rng(7)
+    N = 150
+    x = rng.uniform(0, 1.0, (N, 3))
+    v = rng.normal(0, 0.05, (N, 3))
+    masses = np.full(N, 0.01)
+    params = pe.SphParams(h=0.12, rho0=1000.0, c0=10.0)
+    grid = gh.GridHash([0, 0, 0], [1, 1, 1], cell_size=2 * params.h,
+                       max_per_cell=48)
+    assert grid.occupancy_check(x) <= 48
+    rho_ap = np.asarray(pe.sph_density(jnp.asarray(x), jnp.asarray(masses), params))
+    rho_gh = np.asarray(gh.sph_density_grid(jnp.asarray(x), jnp.asarray(masses),
+                                            params, grid))
+    assert np.allclose(rho_ap, rho_gh, rtol=1e-12)
+    a_ap, _, _ = pe.sph_accel(jnp.asarray(x), jnp.asarray(v), jnp.asarray(masses), params)
+    a_gh, _, _ = gh.sph_accel_grid(jnp.asarray(x), jnp.asarray(v),
+                                   jnp.asarray(masses), params, grid)
+    assert np.allclose(np.asarray(a_ap), np.asarray(a_gh), atol=1e-9)
