@@ -262,6 +262,7 @@ DECK_SPEC = {
     "io": group(
         {
             "write_vtu": param(bool, False),
+            "write_ensight": param(bool, False),
             "output_dir": param(str, "output"),
             "interval": param(int, 1),
             "write_stress": param(bool, False),

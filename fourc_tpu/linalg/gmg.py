@@ -62,7 +62,7 @@ class StructuredGMG:
 
     def __init__(self, disc, ndpn, free_mask, lam, mu, rho=0.0,
                  mass_shift=0.0, n_smooth=2, cheby_degree=3, coarsest=8,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, max_levels=0):
         from fourc_tpu.core import cells as _cells
         from fourc_tpu.ops import solid as sops
 
@@ -86,6 +86,8 @@ class StructuredGMG:
             level = _Level(shape, coords, mask, cell, lam, mu, rho,
                            mass_shift, ndpn, dtype)
             self.levels.append(level)
+            if max_levels and len(self.levels) >= max_levels:
+                break
             if any(s % 2 for s in shape) or min(shape) <= 2 or \
                int(np.prod(shape)) <= coarsest:
                 break
@@ -316,7 +318,7 @@ def _hex_offsets(dim):
     return [(0, 0), (1, 0), (1, 1), (0, 1)]
 
 
-def build_for_solid(field, mass_shift=0.0, dtype=None):
+def build_for_solid(field, mass_shift=0.0, dtype=None, max_levels=None):
     """Construct the GMG preconditioner for a SolidField on a structured
     mesh; returns None when the mesh is unstructured (caller falls back)."""
     disc = field.disc
@@ -334,5 +336,10 @@ def build_for_solid(field, mass_shift=0.0, dtype=None):
     mu = youngs / (2 * (1 + nue))
     rho = float(getattr(mat, "density", 0.0) or 0.0)
     dtype = dtype or field.coords.dtype
+    import os
+
+    if max_levels is None:
+        max_levels = int(os.environ.get("FOURC_GMG_MAX_LEVELS", "0"))
     return StructuredGMG(disc, field.ndpn, field.dbc.free_mask, lam, mu,
-                         rho=rho, mass_shift=mass_shift, dtype=dtype)
+                         rho=rho, mass_shift=mass_shift, dtype=dtype,
+                         max_levels=max_levels)

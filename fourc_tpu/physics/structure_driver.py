@@ -87,6 +87,10 @@ def run(deck, callbacks=None) -> drv.RunResult:
         from fourc_tpu.io.vtu import VtuWriterCallback
 
         out_cbs.append(VtuWriterCallback(f, io_cfg))
+    if io_cfg.get("write_ensight"):
+        from fourc_tpu.io.ensight import EnsightWriterCallback
+
+        out_cbs.append(EnsightWriterCallback(f, io_cfg))
     if io_cfg.get("monitor"):
         from fourc_tpu.io.monitor import CsvMonitorCallback
 

@@ -53,6 +53,47 @@ conditions:
     assert float(steps[-1].get("timestep")) == pytest.approx(1.0)
 
 
+def test_ensight_output(tmp_path):
+    out = str(tmp_path / "ens")
+    deck = dm.load(f"""
+problem: {{type: structure}}
+structural_dynamic: {{dynamictype: statics, kinem: linear, numstep: 2, timestep: 0.5}}
+io: {{write_ensight: true, output_dir: "{out}"}}
+solver: {{method: cg, precond: block_jacobi}}
+functions:
+  1: "t"
+materials:
+  1: {{type: stvenantkirchhoff, youngs: 1000.0, nue: 0.3}}
+geometry:
+  generator: {{kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1}}
+conditions:
+  dirichlet:
+    - {{nodes: xmin, onoff: [1,1,1], val: [0,0,0]}}
+    - {{nodes: xmax, onoff: [1,0,0], val: [0.1], funct: [1]}}
+""")
+    driver.run(deck)
+    files = sorted(os.listdir(out))
+    assert "structure.case" in files and "structure.geo" in files
+    assert "structure.displacement.0000" in files
+    assert "structure.displacement.0001" in files
+
+    case = open(os.path.join(out, "structure.case")).read()
+    assert "vector per node: 1 displacement structure.displacement.****" in case
+    assert "number of steps: 2" in case
+
+    geo = open(os.path.join(out, "structure.geo")).read().splitlines()
+    assert "hexa8" in [ln.strip() for ln in geo]
+    icoord = geo.index("coordinates")
+    assert int(geo[icoord + 1]) == 27
+
+    # variable file: 3 * n_nodes floats after the 4 header lines
+    var = open(os.path.join(out, "structure.displacement.0001")).read().splitlines()
+    vals = np.array([float(v) for v in var[4:]])
+    assert vals.size == 3 * 27
+    # xmax face pulled to 0.1 at t=1 in x
+    assert vals[:27].max() == pytest.approx(0.1, rel=1e-6)
+
+
 def test_monitor_csv_diff(tmp_path):
     from fourc_tpu.io.monitor import compare_csv
 
