@@ -116,7 +116,7 @@ def _dyn_spec(default_dyntype, dyntypes):
         {
             "dynamictype": param(str, default_dyntype, choices=dyntypes, doc="time integrator"),
             "kinem": param(str, "nonlinear", choices=("linear", "nonlinear"), doc="kinematics"),
-            "tech": param(str, "none", choices=("none", "fbar"),
+            "tech": param(str, "none", choices=("none", "fbar", "eas_mild"),
                           doc="element technology (ref TECH flag)"),
             "timestep": param(float, 1.0, doc="dt"),
             "numstep": param(int, 1, doc="number of steps"),
