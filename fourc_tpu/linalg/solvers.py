@@ -200,7 +200,29 @@ def bicgstab(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
     return KrylovResult(x=out["x"], iters=out["k"], resnorm=rn, converged=rn <= stop)
 
 
-SOLVERS = {"cg": cg, "gmres": gmres, "bicgstab": bicgstab}
+def direct(A, b, x0=None, M=None, tol=0.0, atol=0.0, **_):
+    """Dense direct solve (LU with partial pivoting).
+
+    Counterpart of the reference's Amesos direct path (UMFPACK/SuperLU;
+    ref: src/core/linear_solver/src/method/4C_linear_solver_method_direct.cpp)
+    used for small/robust systems and coarse levels.  TPU-native form: the
+    operator is densified by probing with identity columns (one batched
+    vmap of the matrix-free operator — n extra operator applications), then
+    solved with jnp.linalg.solve, which lowers to a batched MXU LU.  Meant
+    for ndof up to a few thousand (0D/1D networks, coarse grids, tests);
+    assembled SparseMatrix operators densify without probing.
+    """
+    n = b.shape[0]
+    Ad = getattr(A, "to_dense", None)
+    Adense = Ad() if Ad is not None else jax.vmap(A, in_axes=1, out_axes=1)(
+        jnp.eye(n, dtype=b.dtype))
+    x = jnp.linalg.solve(Adense, b)
+    rn = jnp.linalg.norm(b - Adense @ x)
+    return KrylovResult(x=x, iters=jnp.asarray(1), resnorm=rn,
+                        converged=jnp.asarray(True))
+
+
+SOLVERS = {"cg": cg, "gmres": gmres, "bicgstab": bicgstab, "direct": direct}
 
 
 def solve(method: str, A, b, **kw) -> KrylovResult:

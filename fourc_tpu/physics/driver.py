@@ -202,7 +202,7 @@ def newton_params_from(dyn: dict, solver: dict) -> NewtonParams:
         tol_res_rel=dyn.get("tolres_rel", 0.0),
         tol_disp=dyn["toldisp"],
         combine=dyn["normcombi"],
-        lin_method=solver["method"] if solver["method"] != "direct" else "gmres",
+        lin_method=solver["method"],
         lin_maxiter=solver["maxiter"],
         lin_rtol=solver["rtol"],
         lin_adaptive=solver["adaptive"],

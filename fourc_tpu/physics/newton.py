@@ -112,7 +112,9 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
             eta = jnp.clip(jnp.sqrt(rnorm / jnp.maximum(rnorm0, 1e-300)), params.lin_rtol, 1e-1)
         else:
             eta = jnp.asarray(params.lin_rtol)
-        if params.lin_method == "cg":
+        if params.lin_method == "direct":
+            res = solvers.direct(A, -r)
+        elif params.lin_method == "cg":
             res = solvers.cg(A, -r, M=precond, tol=eta, atol=0.1 * params.tol_res,
                              maxiter=params.lin_maxiter)
         elif params.lin_method == "gmres":
