@@ -21,7 +21,7 @@ import jax.numpy as jnp
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)"
     r"|(?P<name>[A-Za-z_][A-Za-z_0-9]*)"
-    r"|(?P<op>\*\*|[-+*/^(),<>]))"
+    r"|(?P<op>\*\*|<=|>=|[-+*/^(),<>]))"
 )
 
 _FUNCS = {
@@ -90,10 +90,20 @@ class _Parser:
             raise ValueError(f"expected {op!r}, got {v!r}")
 
     def parse(self):
-        e = self.expr()
+        e = self.compare()
         if self.peek()[0] != "end":
             raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
         return e
+
+    def compare(self):
+        """Comparisons (lowest precedence) -> 1.0/0.0, as in the reference's
+        SymbolicExpression (ref: 4C_utils_symbolic_expression.hpp)."""
+        node = self.expr()
+        while self.peek() in (("op", "<"), ("op", ">"), ("op", "<="),
+                              ("op", ">=")):
+            op = self.next()[1]
+            node = (op, node, self.expr())
+        return node
 
     def expr(self):
         node = self.term()
@@ -132,10 +142,10 @@ class _Parser:
         if kind == "name":
             if self.peek() == ("op", "("):
                 self.next()
-                args = [self.expr()]
+                args = [self.compare()]
                 while self.peek() == ("op", ","):
                     self.next()
-                    args.append(self.expr())
+                    args.append(self.compare())
                 self.expect(")")
                 if val not in _FUNCS:
                     raise ValueError(f"unknown function {val!r}")
@@ -144,7 +154,7 @@ class _Parser:
                 return ("const", _CONSTS[val])
             return ("var", val)
         if kind == "op" and val == "(":
-            e = self.expr()
+            e = self.compare()
             self.expect(")")
             return e
         raise ValueError(f"unexpected token {val!r}")
@@ -174,6 +184,14 @@ def _eval(node, env):
         return a / b
     if tag == "^":
         return a**b
+    if tag == "<":
+        return jnp.where(a < b, 1.0, 0.0)
+    if tag == ">":
+        return jnp.where(a > b, 1.0, 0.0)
+    if tag == "<=":
+        return jnp.where(a <= b, 1.0, 0.0)
+    if tag == ">=":
+        return jnp.where(a >= b, 1.0, 0.0)
     raise AssertionError(tag)
 
 

@@ -162,7 +162,8 @@ DECK_SPEC = {
                 str, "structure",
                 choices=("structure", "scatra", "thermo", "fluid", "tsi", "ale",
                          "fsi", "ssi", "particle", "lubrication", "elch",
-                         "poroelasticity", "cardiovascular0d"),
+                         "poroelasticity", "cardiovascular0d",
+                         "cardiac_monodomain"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -211,6 +212,15 @@ DECK_SPEC = {
             "numstep": param(int, 1),
         },
         doc="CARDIOVASCULAR 0D-STRUCTURE COUPLING (Windkessel)",
+    ),
+    "cardiac_dynamic": group(
+        {
+            "timestep": param(float, 0.1, doc="PDE dt (ms scale)"),
+            "numstep": param(int, 1),
+            "ode_substeps": param(int, 10, doc="cell-model substeps per dt"),
+            "tolres": param(float, 1e-8),
+        },
+        doc="CARDIAC MONODOMAIN (scatra cardiac variant; operator split)",
     ),
     "lubrication_dynamic": group(
         {

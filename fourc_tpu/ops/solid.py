@@ -65,6 +65,9 @@ def internal_force(Xe, ue, cell: CellType, material, kinem: str = "nonlinear",
     # unrolled path: big win on TPU (VPU fusion), but its ~5k-op HLO makes
     # compiles much slower — CPU (tests) and compile-sensitive callers
     # (GMG level operators appear many times per step HLO) use einsum
+    import os
+
+    impl = os.environ.get("FOURC_SOLID_IMPL", impl)
     if (impl != "einsum" and d == 3 and nen * cell.ngp <= 128
             and jax.default_backend() != "cpu"):
         return _internal_force_unrolled(Xe, ue, cell, material, kinem=kinem,

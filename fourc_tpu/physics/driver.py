@@ -90,6 +90,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import lubrication_driver
 
         return lubrication_driver.run(deck, callbacks)
+    if ptype == "cardiac_monodomain":
+        from fourc_tpu.physics import cardiac_driver
+
+        return cardiac_driver.run(deck, callbacks)
     if ptype == "ssi":
         from fourc_tpu.physics import ssi_driver
 
