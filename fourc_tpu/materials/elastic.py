@@ -10,7 +10,7 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from fourc_tpu.materials.base import HyperelasticMaterial, register_material
+from fourc_tpu.materials.base import HyperelasticMaterial, Material, register_material
 from fourc_tpu.ops import common as gm
 
 _I3 = jnp.eye(3)
@@ -132,3 +132,25 @@ class MembraneSVK(HyperelasticMaterial):
 
     def psi(self, C):  # not used (membrane kernel is 2D curvilinear)
         raise NotImplementedError("membrane material is element-bound")
+
+
+@register_material("shell_elastic")
+class ShellElastic(Material):
+    """Linear elastic shell section (ref: shells use standard materials with
+    a THICKNESS element parameter; src/shell7p).  kappa = shear correction,
+    drill = drilling-rotation penalty factor."""
+
+    kind = "shell"
+
+    def __init__(self, youngs, nue, thickness, density=0.0, kappa=5.0 / 6.0,
+                 drill=1e-3):
+        self.youngs = float(youngs)
+        self.nue = float(nue)
+        self.thickness = float(thickness)
+        self.density = float(density)
+        self.kappa = float(kappa)
+        self.drill = float(drill)
+
+    @classmethod
+    def from_deck(cls, params):
+        return cls(**params)

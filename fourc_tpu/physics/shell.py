@@ -1,0 +1,116 @@
+"""Shell field: 6-dof-per-node structural mechanics on quad4 midsurfaces.
+
+Counterpart of the reference's shell7p module driver side (ref: src/shell7p
+— shells run through the standard structure_new integrators).  Mirrors
+BeamField's interface so the shared statics/gen-alpha/OST step builders in
+physics/beam.py and physics/solid.py apply unchanged.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from fourc_tpu.core.conditions import DirichletHandler
+from fourc_tpu.core.functions import FunctionManager
+from fourc_tpu.core.mesh import Discretization
+from fourc_tpu.ops import shell as ops
+
+
+class ShellField:
+    """6 dofs/node: [u, theta] on quad4 element blocks."""
+
+    def __init__(self, disc: Discretization, materials: dict, params,
+                 dirichlet=(), point_neumann=(), functions=None):
+        self.disc = disc
+        self.params = params
+        self.functions = functions or FunctionManager()
+        self.ndpn = 6
+        self.dofmap = disc.dofmap(6)
+        self.ndof = self.dofmap.ndof
+        self.dbc = DirichletHandler(list(dirichlet), disc.coords, 6,
+                                    self.functions)
+        self.point_neumann = list(point_neumann)
+        self.coords = jnp.asarray(disc.coords)
+
+        self.block_K = {}
+        self.block_M = {}
+        for key, blk in disc.blocks.items():
+            if blk.cell != "quad4":
+                raise ValueError("ShellField supports quad4 elements")
+            mat = materials[int(np.asarray(blk.mat_id)[0])]
+            Xe = self.coords[jnp.asarray(np.asarray(blk.conn))]
+            self.block_K[key] = ops.element_stiffness(Xe, mat)
+            self.block_M[key] = ops.lumped_mass(Xe, mat)
+
+    def internal_force(self, u, history=None, dt=None, temps=None,
+                       cstate=None, u_old=None):
+        dm = self.dofmap
+        per_block = {}
+        for key in dm.blocks:
+            ue = dm.gather(u, key).reshape(-1, 24)
+            per_block[key] = jnp.einsum("eij,ej->ei", self.block_K[key], ue)
+        return dm.scatter_add(per_block), None
+
+    def external_force(self, t, u=None):
+        f = jnp.zeros((self.ndof,), self.coords.dtype)
+        for pb in self.point_neumann:
+            xyz = self.coords[jnp.asarray(pb.nodes)]
+            for k in range(min(6, len(pb.onoff))):
+                if pb.onoff[k]:
+                    fn = self.functions.get(pb.funct[k])
+                    vals = pb.val[k] * fn(xyz, t, component=0)
+                    f = f.at[jnp.asarray(pb.nodes) * 6 + k].add(vals)
+        return f
+
+    def lumped_mass(self):
+        return self.dofmap.scatter_add(dict(self.block_M))
+
+    def mass_matvec(self, v):
+        if not hasattr(self, "_ml"):
+            self._ml = self.lumped_mass()
+        return self._ml * v
+
+    def _residual_xform(self, residual_fn):
+        return residual_fn, lambda u: u
+
+    def build_preconditioner(self, u=None, history=None, dt=None,
+                             mass_shift=0.0):
+        from fourc_tpu.linalg.precond import jacobi
+
+        # bending conditioning ~ (L/h)^2: dense inverse for moderate sizes
+        # (the reference runs shells through direct solvers routinely)
+        if self.ndof <= 6000:
+            key_ = (round(float(mass_shift), 12),)
+            cache = getattr(self, "_pc_cache", {})
+            if key_ not in cache:
+                K = np.zeros((self.ndof, self.ndof))
+                for key in self.dofmap.blocks:
+                    conn = np.asarray(self.disc.blocks[key].conn)
+                    Ke = np.asarray(self.block_K[key])
+                    dof = (conn[:, :, None] * 6 + np.arange(6)[None, None]) \
+                        .reshape(-1, 24)
+                    for e in range(dof.shape[0]):
+                        ix = dof[e]
+                        K[np.ix_(ix, ix)] += Ke[e]
+                    if mass_shift:
+                        Me = np.asarray(self.block_M[key])
+                        np.add.at(K, (dof.reshape(-1), dof.reshape(-1)),
+                                  mass_shift * Me.reshape(-1))
+                free = np.asarray(self.dbc.free_mask)
+                K[~free, :] = 0.0
+                K[:, ~free] = 0.0
+                K[~free, ~free] = 1.0
+                cache[key_] = jnp.asarray(np.linalg.inv(K))
+                self._pc_cache = cache
+            Kinv = cache[key_]
+            return lambda r: Kinv @ r
+        per_block = {}
+        for key in self.dofmap.blocks:
+            Kd = jnp.einsum("eii->ei", self.block_K[key])
+            if mass_shift:
+                Kd = Kd + mass_shift * self.block_M[key]
+            per_block[key] = Kd
+        diag = self.dofmap.scatter_add(per_block)
+        diag = jnp.where(self.dbc.free_mask, jnp.maximum(diag, 1e-30), 1.0)
+        return jacobi(diag)

@@ -49,6 +49,15 @@ def build_field(deck, disc_name="structure"):
             point_neumann=conds.get("point_neumann", ()),
             functions=deck.functions,
         )
+    if any(getattr(m, "kind", "") == "shell" for m in materials.values()):
+        from fourc_tpu.physics.shell import ShellField
+
+        return ShellField(
+            disc, materials, params,
+            dirichlet=conds.get("dirichlet", ()),
+            point_neumann=conds.get("point_neumann", ()),
+            functions=deck.functions,
+        )
     f = ps.SolidField(
         disc,
         materials,
@@ -69,8 +78,10 @@ def run(deck, callbacks=None) -> drv.RunResult:
 
     timers = Timers()
     with timers("setup"):
+        from fourc_tpu.physics.shell import ShellField
+
         f = build_field(deck)
-        if isinstance(f, pb.BeamField):
+        if isinstance(f, (pb.BeamField, ShellField)):
             state = ps.compute_initial_state(f, pb.init_state(f))
             mkstep = lambda dt: pb.make_step(f, dt)  # noqa: E731
         else:
