@@ -149,6 +149,10 @@ def _dyn_spec(default_dyntype, dyntypes):
             "initialfield_funct": param(int, 0, doc="initial field function id"),
             "smagorinsky_cs": param(float, 0.0,
                                     doc="LES Smagorinsky constant (fluid; 0=off)"),
+            "turbulence_model": param(
+                str, "none", choices=("none", "smagorinsky",
+                                      "dynamic_smagorinsky"),
+                doc="LES model (ref PHYSICAL_MODEL in TURBULENCE MODEL)"),
         },
         doc="field time integration",
     )

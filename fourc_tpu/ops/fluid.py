@@ -73,6 +73,7 @@ def residual(
     newton_convective: bool = True,
     grid_vel=None,
     smagorinsky_cs: float = 0.0,
+    cs2_gp=None,
 ):
     """Element residual: (f_mom (e, nen, d), f_cont (e, nen)).
 
@@ -110,14 +111,16 @@ def residual(
     f_mom = f_mom - jnp.einsum("eg,egai,eg->eai", wdet, G, p)
     eps = 0.5 * (gradu + jnp.swapaxes(gradu, -1, -2))
     mu_eff = mu
-    if smagorinsky_cs:
+    if smagorinsky_cs or cs2_gp is not None:
         # Smagorinsky LES eddy viscosity (ref: src/fluid_ele turbulence
-        # models / fluid_turbulence dynamic Smagorinsky — the constant-Cs
-        # variant): nu_t = (Cs * Delta)^2 |S|, Delta = volume-based h
+        # models / fluid_turbulence dynamic Smagorinsky):
+        # nu_t = Cs^2 Delta^2 |S|, Delta = volume-based h; cs2_gp carries a
+        # per-element DYNAMIC Cs^2 (Germano-Lilly; ops/turbulence.py)
         vol = jnp.sum(wdet, axis=1)
         delta = jnp.broadcast_to((vol ** (1.0 / dim))[:, None], wdet.shape)
+        cs2 = cs2_gp[:, None] if cs2_gp is not None else smagorinsky_cs**2
         snorm = jnp.sqrt(2.0 * jnp.einsum("egij,egij->eg", eps, eps) + 1e-30)
-        mu_eff = mu + rho * (smagorinsky_cs * delta) ** 2 * snorm
+        mu_eff = mu + rho * cs2 * delta**2 * snorm
         f_mom = f_mom + 2.0 * jnp.einsum(
             "eg,eg,egij,egaj->eai", wdet, mu_eff - mu, eps, G)
     f_mom = f_mom + 2.0 * mu * jnp.einsum("eg,egij,egaj->eai", wdet, eps, G)

@@ -40,6 +40,7 @@ class FluidParams:
     pspg: bool = True
     graddiv: bool = True
     smagorinsky_cs: float = 0.0  # LES constant-Smagorinsky Cs (0 = laminar)
+    turbulence_model: str = "none"  # none|smagorinsky|dynamic_smagorinsky
     initial_funct: int = 0
     divercont: str = "stop"
     max_halvings: int = 5
@@ -138,12 +139,21 @@ class FluidField:
                 Xe = Xe + mesh_disp[conn]
             if mesh_vel is not None:
                 gv = mesh_vel[conn]
+            cs2 = None
+            if p.turbulence_model == "dynamic_smagorinsky":
+                from fourc_tpu.ops import turbulence as tops
+
+                # Picard treatment: the dynamic coefficient is frozen
+                # within the Newton linearization (ref: dyn_smag applies
+                # the filtered Cs of the last step)
+                cs2 = jax.lax.stop_gradient(tops.dynamic_cs2(
+                    Xe, ue, cell, conn, self.disc.n_nodes))
             f_mom, f_cont = ops.residual(
                 Xe, ue, pe, udote, cell,
                 mu=float(m.visc()), rho=float(m.density),
                 body_gp=self.body_at_gps(key, t), dt=dt,
                 supg=p.supg, pspg=p.pspg, graddiv=p.graddiv,
-                grid_vel=gv, smagorinsky_cs=p.smagorinsky_cs,
+                grid_vel=gv, smagorinsky_cs=p.smagorinsky_cs, cs2_gp=cs2,
             )
             fe = jnp.concatenate([f_mom, f_cont[..., None]], axis=-1)
             per_block[key] = fe.reshape(fe.shape[0], -1)

@@ -29,6 +29,7 @@ def build_field(deck, disc_name="fluid", extra_dirichlet=()) -> pf.FluidField:
         newton=drv.newton_params_from(dyn, solver),
         initial_funct=dyn.get("initialfield_funct", 0),
         smagorinsky_cs=dyn.get("smagorinsky_cs", 0.0) or 0.0,
+        turbulence_model=dyn.get("turbulence_model", "none"),
         supg=dyn.get("stab", "taylor") != "zero",
         pspg=dyn.get("stab", "taylor") != "zero",
         graddiv=dyn.get("stab", "taylor") != "zero",

@@ -81,3 +81,64 @@ def test_smagorinsky_adds_dissipation():
     assert e_les < 0.995 * e_dns
     assert e_les_big < 0.96 * e_dns
     assert e_les_big < e_les  # monotone in Cs
+
+
+def _tg_dyn_deck(model, numstep=6, dt=0.05, n=12):
+    import re
+
+    d = _tg_deck(0.0, numstep, dt, n)
+    return d
+
+
+def test_dynamic_cs2_vanishes_for_smooth_shear():
+    """Uniform shear u = (gamma*y, 0): no resolved subgrid activity ->
+    Leonard stress ~ 0 -> dynamic Cs^2 ~ 0 (the Germano model's defining
+    advantage over constant Cs)."""
+    import jax.numpy as jnp
+
+    from fourc_tpu.core import cells, gridgen
+    from fourc_tpu.ops import turbulence as tops
+
+    disc = gridgen.rectangle(8, 8, lo=(0, 0), hi=(1, 1), cell="quad4")
+    conn = jnp.asarray(np.asarray(disc.blocks["quad4"].conn))
+    X = jnp.asarray(disc.coords)
+    Xe = X[conn]
+    u = jnp.stack([2.0 * X[:, 1], jnp.zeros(X.shape[0])], axis=1)
+    cs2 = tops.dynamic_cs2(Xe, u[conn], cells.get_cell("quad4"), conn,
+                           disc.n_nodes)
+    assert float(jnp.max(cs2)) < 1e-4
+
+    # a marginally-resolved multi-mode field (nonlinear cross-scale
+    # transfer) must produce a positive, bounded Cs^2
+    k1, k2 = 2 * np.pi * 2, 2 * np.pi * 3
+    x, y = X[:, 0], X[:, 1]
+    ur = jnp.stack([
+        jnp.sin(k1 * x) * jnp.cos(k1 * y)
+        + 0.7 * jnp.sin(k2 * x + 0.3) * jnp.cos(k2 * y),
+        -jnp.cos(k1 * x) * jnp.sin(k1 * y)
+        - 0.7 * jnp.cos(k2 * x + 0.3) * jnp.sin(k2 * y)], axis=1)
+    cs2g = tops.dynamic_cs2(Xe, ur[conn], cells.get_cell("quad4"), conn,
+                            disc.n_nodes)
+    assert 0.0 < float(cs2g[0]) <= 0.09 + 1e-12
+    cs2e = tops.dynamic_cs2(Xe, ur[conn], cells.get_cell("quad4"), conn,
+                            disc.n_nodes, averaging="element")
+    assert 0.0 < float(jnp.max(cs2e)) <= 0.09 + 1e-12
+
+
+def test_dynamic_smagorinsky_runs_and_bounds_dissipation():
+    """Taylor-Green on a coarse mesh: dynamic model adds little dissipation
+    (flow is smooth) — kinetic energy stays between the constant-Cs run
+    (most dissipative) and close to laminar."""
+    numstep, dt = 6, 0.05
+    d_lam = _tg_deck(0.0, numstep, dt)
+    d_cs = _tg_deck(0.2, numstep, dt)
+    d_dyn = _tg_deck(0.0, numstep, dt)
+    d_dyn.sections["fluid_dynamic"]["turbulence_model"] = "dynamic_smagorinsky"
+
+    ke_lam = _kinetic_energy(driver.run(d_lam))
+    ke_cs = _kinetic_energy(driver.run(d_cs))
+    ke_dyn = _kinetic_energy(driver.run(d_dyn))
+    assert ke_cs < ke_lam
+    assert ke_cs - 1e-12 <= ke_dyn <= ke_lam * 1.001
+    # smooth resolved flow: dynamic stays close to laminar
+    assert (ke_lam - ke_dyn) < 0.5 * (ke_lam - ke_cs)
