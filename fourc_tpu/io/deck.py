@@ -167,7 +167,7 @@ DECK_SPEC = {
                 choices=("structure", "scatra", "thermo", "fluid", "tsi", "ale",
                          "fsi", "ssi", "particle", "lubrication", "elch",
                          "poroelasticity", "cardiovascular0d",
-                         "cardiac_monodomain"),
+                         "cardiac_monodomain", "artery", "red_airways"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -216,6 +216,22 @@ DECK_SPEC = {
             "numstep": param(int, 1),
         },
         doc="CARDIOVASCULAR 0D-STRUCTURE COUPLING (Windkessel)",
+    ),
+    "artery_dynamic": group(
+        {
+            "timestep": param(float, 1e-3),
+            "numstep": param(int, 1),
+            "q_in_funct": param(int, 1, doc="inlet flow Q_in(t) FUNCT id"),
+        },
+        doc="ARTERIAL DYNAMIC (1D network, explicit Taylor-Galerkin)",
+    ),
+    "airway_dynamic": group(
+        {
+            "timestep": param(float, 1e-2),
+            "numstep": param(int, 1),
+            "p_in_funct": param(int, 1, doc="trachea pressure P(t) FUNCT id"),
+        },
+        doc="REDUCED DIMENSIONAL AIRWAYS DYNAMIC",
     ),
     "cardiac_dynamic": group(
         {

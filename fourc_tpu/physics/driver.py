@@ -90,6 +90,14 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import lubrication_driver
 
         return lubrication_driver.run(deck, callbacks)
+    if ptype == "red_airways":
+        from fourc_tpu.physics import airway_driver
+
+        return airway_driver.run(deck, callbacks)
+    if ptype == "artery":
+        from fourc_tpu.physics import artery_driver
+
+        return artery_driver.run(deck, callbacks)
     if ptype == "cardiac_monodomain":
         from fourc_tpu.physics import cardiac_driver
 
