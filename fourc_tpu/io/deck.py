@@ -167,7 +167,8 @@ DECK_SPEC = {
                 choices=("structure", "scatra", "thermo", "fluid", "tsi", "ale",
                          "fsi", "ssi", "particle", "lubrication", "elch",
                          "poroelasticity", "cardiovascular0d",
-                         "cardiac_monodomain", "artery", "red_airways"),
+                         "cardiac_monodomain", "artery", "red_airways",
+                         "porofluidmultiphase"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -224,6 +225,17 @@ DECK_SPEC = {
             "q_in_funct": param(int, 1, doc="inlet flow Q_in(t) FUNCT id"),
         },
         doc="ARTERIAL DYNAMIC (1D network, explicit Taylor-Galerkin)",
+    ),
+    "porofluid_dynamic": group(
+        {
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "maxiter": param(int, 20),
+            "tolres": param(float, 1e-8),
+            "initialfield_funct": param(int, 0,
+                                        doc="initial (p_w, p_n) FUNCT id"),
+        },
+        doc="POROFLUIDMULTIPHASE DYNAMIC (pressure-based 2-phase flow)",
     ),
     "airway_dynamic": group(
         {

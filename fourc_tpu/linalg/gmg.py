@@ -182,8 +182,14 @@ class _Level:
         # 'stencil operator' is on a structured grid.
         Xe_np = np.asarray(self.Xe)
         rel = Xe_np - Xe_np[:, :1, :]
-        self.uniform = bool(np.allclose(rel, rel[:1], rtol=0.0,
-                                        atol=1e-9 * max(1.0, np.abs(Xe_np).max())))
+        # tolerance must absorb dtype roundoff of the COORDINATES (f32 grid
+        # spacings differ by ~eps*|x|; a genuinely stretched grid differs by
+        # orders of magnitude more).  A too-tight atol silently drops to the
+        # per-element Ke store, whose batched-jvp build OOMs at ~1M dofs.
+        eps = np.finfo(Xe_np.dtype).eps
+        self.uniform = bool(np.allclose(
+            rel, rel[:1], rtol=0.0,
+            atol=64.0 * eps * max(1.0, np.abs(Xe_np).max())))
         if self.uniform:
             ue0 = jnp.zeros((1, nen, dim), dtype)
             Ke1 = jax.jit(

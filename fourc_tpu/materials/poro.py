@@ -21,7 +21,9 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from fourc_tpu.materials.base import HyperelasticMaterial, register_material
+import jax
+
+from fourc_tpu.materials.base import HyperelasticMaterial, Material, register_material
 
 
 @register_material("structporo")
@@ -97,3 +99,43 @@ class StructPoro(HyperelasticMaterial):
 
     def diff(self, phi=None):
         return self.permeability / self.viscosity
+
+
+@register_material("fluidporo_multiphase")
+class PoroMultiphase(Material):
+    """Two-phase porous flow material (ref: MAT_FluidPoroMultiPhase)."""
+
+    kind = "porofluid"
+
+    def __init__(self, porosity, permeability, mu_w=1.0, mu_n=1.0,
+                 vg_alpha=1.0, vg_n=2.0, s_rw=0.0, s_rn=0.0, kr_exp=2.0):
+        self.porosity = float(porosity)
+        self.permeability = float(permeability)
+        self.mu_w = float(mu_w)
+        self.mu_n = float(mu_n)
+        self.vg_alpha = float(vg_alpha)
+        self.vg_n = float(vg_n)
+        self.vg_m = 1.0 - 1.0 / float(vg_n)
+        self.s_rw = float(s_rw)
+        self.s_rn = float(s_rn)
+        self.kr_exp = float(kr_exp)
+
+    @classmethod
+    def from_deck(cls, params):
+        return cls(**params)
+
+    def s_w(self, pc):
+        """Effective wetting saturation from capillary pressure (van
+        Genuchten; smooth across pc <= 0 via softplus regularization)."""
+        x = self.vg_alpha * pc
+        pcp = 0.5 * (x + jnp.sqrt(x * x + 1e-6))  # smooth max(0, .)
+        se = (1.0 + pcp ** self.vg_n) ** (-self.vg_m)
+        return self.s_rw + (1.0 - self.s_rw - self.s_rn) * se
+
+    def kr(self, s_eff, kr_min=1e-3):
+        """Power-law relative permeability (Corey-type) with a small floor
+        (keeps the vanishing-phase equation non-degenerate — the standard
+        regularization, cf. the reference's minimal relative permeability
+        input in 4C_mat_fluidporo_relpermeability_law.*)."""
+        return jnp.clip(s_eff, 0.0, 1.0) ** self.kr_exp + kr_min
+
