@@ -423,6 +423,12 @@ def _build_geometry(geo: dict, cfg) -> dict:
                 out[name] = merge_discretizations(out[name], d, prefix_b=prefix)
             else:
                 out[name] = d
+    if "exodus" in geo:
+        from fourc_tpu.io.exodus import read_exodus
+
+        ex = dict(geo["exodus"])
+        d = read_exodus(ex["file"], name=ex.get("name", "structure"))
+        out[d.name] = d
     if "nodes" in geo:
         name = geo.get("name", "structure")
         coords = np.asarray(geo["nodes"], dtype=np.float64)
