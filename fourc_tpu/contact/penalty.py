@@ -48,9 +48,10 @@ class ContactCondition:
 
     slave_nodes: np.ndarray  # (S,) node ids
     master_faces: object  # list[FaceBlock] (quad4/tri3 faces)
+    slave_faces: object = None  # list[FaceBlock] — tributary areas (Nitsche)
     penalty: float = 1e5
     n_candidates: int = 4
-    strategy: str = "penalty"  # "penalty" | "uzawa" (augmented Lagrange)
+    strategy: str = "penalty"  # "penalty" | "uzawa" | "nitsche"
     friction_mu: float = 0.0  # Coulomb coefficient; 0 = frictionless
     penalty_t: float = 0.0  # tangential penalty (default: = penalty)
     uzawa_max_iter: int = 8  # outer multiplier updates (statics driver)
@@ -79,6 +80,25 @@ class PenaltyContact:
                 faces.append(conn)
             mconn = np.concatenate(faces, axis=0)  # (F, 4)
             slave = np.asarray(c.slave_nodes, np.int32)
+            # slave tributary areas (reference config) — turns the Nitsche
+            # consistency TRACTION -sigma_nn into a nodal force
+            area = np.ones(slave.shape[0])
+            if c.slave_faces is not None:
+                amap = np.zeros(coords.shape[0])
+                for fb in c.slave_faces:
+                    fc = np.asarray(fb.conn)
+                    v1 = coords[fc[:, 1]] - coords[fc[:, 0]]
+                    v2 = coords[fc[:, -1]] - coords[fc[:, 0]]
+                    fa = np.linalg.norm(np.cross(v1, v2), axis=-1)
+                    if fc.shape[1] == 3:
+                        fa = 0.5 * fa
+                    np.add.at(amap, fc.reshape(-1),
+                              np.repeat(fa / fc.shape[1], fc.shape[1]))
+                area = amap[slave]
+            elif c.strategy == "nitsche":
+                raise ValueError(
+                    "Nitsche contact needs slave FACES (a face set) for "
+                    "tributary areas")
             # broad phase: K nearest faces by reference centroid distance
             cent = coords[mconn].mean(axis=1)  # (F, d)
             d2 = ((coords[slave][:, None, :] - cent[None, :, :]) ** 2).sum(-1)
@@ -87,6 +107,7 @@ class PenaltyContact:
             self.pairs.append(
                 dict(
                     slave=jnp.asarray(slave),
+                    area=jnp.asarray(area),
                     mconn=jnp.asarray(mconn.astype(np.int32)),
                     cand=jnp.asarray(cand),
                     pen=float(c.penalty),
@@ -99,6 +120,8 @@ class PenaltyContact:
             )
         self.stateful = any(p["mu"] > 0 or p["strategy"] == "uzawa"
                             for p in self.pairs)
+        # Nitsche needs the slave body's boundary stress (consistency term)
+        self.needs_stress = any(p["strategy"] == "nitsche" for p in self.pairs)
 
     # -- state ---------------------------------------------------------------
 
@@ -115,12 +138,17 @@ class PenaltyContact:
 
     # -- forces ---------------------------------------------------------------
 
-    def force(self, x_nodes, cstate=None, x_old=None):
+    def force(self, x_nodes, cstate=None, x_old=None, sig=None):
         """Contact nodal forces given CURRENT coordinates (n_nodes, d).
 
         cstate: pytree from init_state (None -> pure penalty, frictionless).
         x_old: coordinates at the last converged step (friction slip
         increment reference); required when friction is on.
+        sig: (n_nodes, 3, 3) nodal Cauchy stress — required for Nitsche
+        pairs (ref: NitscheStrategy, 4C_contact_nitsche_strategy.*): the
+        contact traction is the CONSISTENT boundary stress -sigma_nn plus
+        the gap stabilization, so a moderate stabilization parameter gives
+        near-exact tractions instead of penalty penetration errors.
 
         Returns (n_nodes, d) forces (to be ADDED to the internal force,
         i.e. they enter the residual with a + sign on the slave side).
@@ -128,26 +156,26 @@ class PenaltyContact:
         f = jnp.zeros_like(x_nodes)
         for i, p in enumerate(self.pairs):
             ps = None if cstate is None else cstate[i]
-            f = f + _pair_force(x_nodes, p, ps, x_old)[0]
+            f = f + _pair_force(x_nodes, p, ps, x_old, sig)[0]
         return f
 
-    def update_state(self, x_nodes, cstate, x_old):
+    def update_state(self, x_nodes, cstate, x_old, sig=None):
         """Post-step state update: Uzawa multiplier + friction traction
         history (called once per converged step with the final geometry)."""
         new = []
         for i, p in enumerate(self.pairs):
-            _, upd = _pair_force(x_nodes, p, cstate[i], x_old)
+            _, upd = _pair_force(x_nodes, p, cstate[i], x_old, sig)
             lam_new = upd["lam"] if p["strategy"] == "uzawa" else cstate[i]["lam"]
             new.append({"lam": lam_new, "tt": upd["tt"]})
         return new
 
-    def max_multiplier_change(self, x_nodes, cstate, x_old):
+    def max_multiplier_change(self, x_nodes, cstate, x_old, sig=None):
         """max_i |lam_new - lam| over all pairs (Uzawa convergence test)."""
         out = jnp.asarray(0.0, x_nodes.dtype)
         for i, p in enumerate(self.pairs):
             if p["strategy"] != "uzawa":
                 continue
-            _, upd = _pair_force(x_nodes, p, cstate[i], x_old)
+            _, upd = _pair_force(x_nodes, p, cstate[i], x_old, sig)
             out = jnp.maximum(out, jnp.max(jnp.abs(upd["lam"] - cstate[i]["lam"])))
         return out
 
@@ -197,7 +225,7 @@ def _project_quad(xs, Xf, iters=4):
     return xi, eta, N, xp, n
 
 
-def _pair_force(x, p, pstate, x_old):
+def _pair_force(x, p, pstate, x_old, sig=None):
     """Forces + state update for one contact pair set.
 
     Candidate faces are blended with a CONTINUOUS partition of unity (an
@@ -216,8 +244,13 @@ def _pair_force(x, p, pstate, x_old):
     if x_old is None:
         x_old = x  # no slip increment available (frictionless paths)
 
-    def per_slave(s, cands, lam_s, tt_s):
+    nitsche = p["strategy"] == "nitsche"
+    if nitsche and sig is None:
+        raise ValueError("Nitsche contact requires nodal stresses (sig)")
+
+    def per_slave(s, a_s, cands, lam_s, tt_s):
         xs = x[s]
+        sig_s = sig[s] if nitsche else None
 
         def per_cand(fidx):
             Xf = x[mconn[fidx]]  # (4, d)
@@ -239,8 +272,16 @@ def _pair_force(x, p, pstate, x_old):
         w = mu / jnp.maximum(mu.sum(), 1e-30)
         near = (g > -0.5)  # depth guard against spurious far-side faces
         # per-candidate normal traction (smooth in u): the node-level
-        # multiplier augments each candidate's penalty term
-        p_n = jnp.where(near, jnp.maximum(0.0, lam_s - pen * g), 0.0)  # (K,)
+        # multiplier augments each candidate's penalty term; Nitsche
+        # replaces the multiplier by the consistent boundary stress
+        # -sigma_nn (theta = 0 'skew' variant; gamma = penalty input)
+        if nitsche:
+            # consistency term: boundary traction -sigma_nn times the
+            # slave node's tributary area (force units, like pen * g)
+            snn = jnp.einsum("kd,de,ke->k", n, sig_s, n)  # (K,)
+            p_n = jnp.where(near, jnp.maximum(0.0, -snn * a_s - pen * g), 0.0)
+        else:
+            p_n = jnp.where(near, jnp.maximum(0.0, lam_s - pen * g), 0.0)  # (K,)
         p_node = jnp.sum(w * p_n)
 
         # --- Coulomb friction (elastic predictor / return mapping) ---------
@@ -275,7 +316,8 @@ def _pair_force(x, p, pstate, x_old):
     S = slave.shape[0]
     lam_in = lam if lam is not None else jnp.zeros((S,), x.dtype)
     tt_in = tt_old if tt_old is not None else jnp.zeros((S, d), x.dtype)
-    fs, fr, lam_new, tt_new = jax.vmap(per_slave)(slave, cand, lam_in, tt_in)
+    fs, fr, lam_new, tt_new = jax.vmap(per_slave)(slave, p["area"], cand,
+                                                  lam_in, tt_in)
     f = jnp.zeros_like(x)
     f = f.at[slave].add(fs)
     mnodes = mconn[cand]  # (S, K, 4)

@@ -526,10 +526,15 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
             elif key == "contact":
                 from fourc_tpu.contact.penalty import ContactCondition
 
+                try:  # slave faces (tributary areas, Nitsche consistency)
+                    slave_faces = _resolve_faces(disc, item["slave"])
+                except (KeyError, ValueError):
+                    slave_faces = None
                 f["contact"].append(
                     ContactCondition(
                         slave_nodes=_resolve_nodes(disc, item["slave"]),
                         master_faces=_resolve_faces(disc, item["master"]),
+                        slave_faces=slave_faces,
                         penalty=float(item.get("penalty", 1e5)),
                         n_candidates=int(item.get("candidates", 4)),
                         strategy=str(item.get("strategy", "penalty")),

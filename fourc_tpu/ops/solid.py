@@ -539,8 +539,9 @@ def gp_stresses(Xe, ue, cell: CellType, material, kinem="nonlinear", history=Non
         sig, _ = _stress_small(material, eps.reshape(3, 3, M), hist_flat, dt)
         return jnp.transpose(sig.reshape(3, 3, g, E), (3, 2, 0, 1))
     F = H + gm.eye3l(H)
-    C = jnp.einsum("kigE,kjgE->ijgE", F, F)
-    S, _ = _stress_pk2(material, C.reshape(3, 3, M), hist_flat, dt)
+    # GL strain, cancellation-free (pk2_from_E expects E, NOT C)
+    Egl = 0.5 * (H + jnp.swapaxes(H, 0, 1) + jnp.einsum("kigE,kjgE->ijgE", H, H))
+    S, _ = _stress_pk2(material, Egl.reshape(3, 3, M), hist_flat, dt)
     S = S.reshape(3, 3, g, E)
     J = gm.det3l(F)
     sig = jnp.einsum("ikgE,klgE,jlgE->ijgE", F, S, F) / J

@@ -251,7 +251,9 @@ class SolidField:
             # structural model evaluator, 4C_contact_penalty_strategy.*)
             x = self.coords + u.reshape(-1, self.ndpn)
             xo = None if u_old is None else self.coords + u_old.reshape(-1, self.ndpn)
-            f = f - self.contact.force(x, cstate, xo).reshape(-1)
+            sig = (self.nodal_stresses(u, history=history, dt=dt)
+                   if self.contact.needs_stress else None)
+            f = f - self.contact.force(x, cstate, xo, sig=sig).reshape(-1)
         return f, (new_hist if new_hist else None)
 
     def _cell(self, key):

@@ -230,3 +230,54 @@ def test_contact_friction_slip():
     # normal pressure ~ E * eps_z; eps_z ~ (0.02 - 0.002) / 1.0 capped by gap
     p_est = E_MOD * (0.02 - 0.002)
     assert tt_norm.max() <= 0.05 * p_est * 3.0 + 1e-6
+
+
+def test_contact_nitsche_consistent_traction():
+    """Nitsche (theta=0 skew variant): the consistent boundary stress
+    -sigma_nn carries the contact pressure, so at a stabilization where
+    pure penalty penetrates sigma/gamma = 1e-2, the Nitsche penetration
+    must be an order of magnitude smaller (ref: NitscheStrategy,
+    4C_contact_nitsche_strategy.*)."""
+    deck = dm.load(f"""
+problem: {{type: structure}}
+structural_dynamic:
+  dynamictype: statics
+  kinem: nonlinear
+  numstep: 4
+  timestep: 0.25
+  maxiter: 40
+  tolres: 1e-8
+  toldisp: 1e-9
+  linesearch: true
+solver: {{method: gmres, precond: block_jacobi, maxiter: 3000, gmres_restart: 100}}
+materials:
+  1: {{type: stvenantkirchhoff, youngs: {E_MOD}, nue: 0.0}}
+functions:
+  1: "t"
+geometry:
+  generator:
+    - {{kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1, name: structure}}
+    - {{kind: box, nx: 3, ny: 3, nz: 2, cell: hex8, mat: 1, name: structure,
+        lo: [0, 0, {1 + GAP0}], hi: [1, 1, {2 + GAP0}], prefix: up_}}
+conditions:
+  dirichlet:
+    - {{nodes: zmin, onoff: [1,1,1], val: [0,0,0]}}
+    - {{nodes: up_zmax, onoff: [1,1,1], val: [0,0,{PUSH}], funct: [0,0,1]}}
+  contact:
+    - {{slave: up_zmin, master: zmax, penalty: 2000.0, strategy: nitsche}}
+""")
+    res = driver.run(deck)
+    f = res.fields["structure"].f
+    d = np.asarray(res.states["structure"]["d"]).reshape(-1, 3)
+    X = f.disc.coords
+    eps_each = (abs(PUSH) - GAP0) / 2.0
+    sigma = E_MOD * eps_each  # ~ 20
+
+    lower_top = f.disc.node_sets["zmax"]
+    upper_bot = f.disc.node_sets["up_zmin"]
+    pen_depth = (X[lower_top, 2] + d[lower_top, 2]).mean() - (
+        X[upper_bot, 2] + d[upper_bot, 2]
+    ).mean()
+    assert abs(float(pen_depth)) < 0.15 * sigma / 2000.0 + 2e-4
+    # compression shared between the blocks as in the patch test
+    assert d[lower_top, 2].mean() == pytest.approx(-eps_each, rel=0.1)
