@@ -56,6 +56,7 @@ class ContactCondition:
     penalty_t: float = 0.0  # tangential penalty (default: = penalty)
     uzawa_max_iter: int = 8  # outer multiplier updates (statics driver)
     uzawa_tol: float = 1e-8  # stop when max |pen*g| change below this
+    wear_coeff: float = 0.0  # Archard wear coefficient k_w (0 = no wear)
 
 
 class PenaltyContact:
@@ -116,10 +117,11 @@ class PenaltyContact:
                     strategy=c.strategy,
                     uzawa_max_iter=int(c.uzawa_max_iter),
                     uzawa_tol=float(c.uzawa_tol),
+                    kw=float(c.wear_coeff),
                 )
             )
         self.stateful = any(p["mu"] > 0 or p["strategy"] == "uzawa"
-                            for p in self.pairs)
+                            or p["kw"] > 0 for p in self.pairs)
         # Nitsche needs the slave body's boundary stress (consistency term)
         self.needs_stress = any(p["strategy"] == "nitsche" for p in self.pairs)
 
@@ -133,6 +135,7 @@ class PenaltyContact:
             st.append({
                 "lam": jnp.zeros((S,), dtype),  # normal multiplier >= 0
                 "tt": jnp.zeros((S, 3), dtype),  # friction traction (global)
+                "w": jnp.zeros((S,), dtype),  # Archard wear depth
             })
         return st
 
@@ -166,7 +169,7 @@ class PenaltyContact:
         for i, p in enumerate(self.pairs):
             _, upd = _pair_force(x_nodes, p, cstate[i], x_old, sig)
             lam_new = upd["lam"] if p["strategy"] == "uzawa" else cstate[i]["lam"]
-            new.append({"lam": lam_new, "tt": upd["tt"]})
+            new.append({"lam": lam_new, "tt": upd["tt"], "w": upd["w"]})
         return new
 
     def max_multiplier_change(self, x_nodes, cstate, x_old, sig=None):
@@ -238,8 +241,10 @@ def _pair_force(x, p, pstate, x_old, sig=None):
     """
     slave, mconn, cand = p["slave"], p["mconn"], p["cand"]
     pen, pen_t, mu_f = p["pen"], p["pen_t"], p["mu"]
+    kw = p.get("kw", 0.0)
     lam = pstate["lam"] if pstate is not None else None
     tt_old = pstate["tt"] if pstate is not None else None
+    w_old = pstate.get("w") if pstate is not None else None
     d = x.shape[1]
     if x_old is None:
         x_old = x  # no slip increment available (frictionless paths)
@@ -248,14 +253,14 @@ def _pair_force(x, p, pstate, x_old, sig=None):
     if nitsche and sig is None:
         raise ValueError("Nitsche contact requires nodal stresses (sig)")
 
-    def per_slave(s, a_s, cands, lam_s, tt_s):
+    def per_slave(s, a_s, cands, lam_s, tt_s, w_s):
         xs = x[s]
         sig_s = sig[s] if nitsche else None
 
         def per_cand(fidx):
             Xf = x[mconn[fidx]]  # (4, d)
             xi, eta, N, xp, n = _project_quad(xs, Xf)
-            g = jnp.dot(xs - xp, n)
+            g = jnp.dot(xs - xp, n) + w_s  # Archard wear deepens the gap
             # smooth insideness measure of the (clipped) projection; >0 on
             # the closed face, decays to ~0 just outside -> continuous
             # partition across neighbouring faces
@@ -298,8 +303,14 @@ def _pair_force(x, p, pstate, x_old, sig=None):
             cap = mu_f * p_node
             scale = jnp.where(tnorm > cap, cap / jnp.maximum(tnorm, 1e-30), 1.0)
             t_t = t_trial * scale  # resists slave motion with -t_t below
+            # Archard wear: dw = k_w * p_n * |plastic slip increment|
+            # (ref: src/contact wear, 4C_contact_wear_*; slip = the
+            # return-mapped part of the tangential motion)
+            slip = jnp.maximum(tnorm - cap, 0.0) / pen_t
+            w_inc = kw * p_node * slip
         else:
             t_t = jnp.zeros((d,), x.dtype)
+            w_inc = jnp.asarray(0.0, x.dtype)
 
         fs = jnp.einsum("k,k,kd->d", w, p_n, n) - t_t  # force ON the slave
         # reaction: each candidate face takes back its own normal share plus
@@ -311,15 +322,16 @@ def _pair_force(x, p, pstate, x_old, sig=None):
         w_act = w * jnp.where(jnp.logical_or(g < 0.0, p_n > 0.0), 1.0, 0.0)
         ghat = jnp.sum(w_act * g) / jnp.maximum(jnp.sum(w_act), 1e-30)
         lam_new = jnp.maximum(0.0, lam_s - pen * ghat)
-        return fs, fr, lam_new, t_t
+        return fs, fr, lam_new, t_t, w_s + w_inc
 
     S = slave.shape[0]
     lam_in = lam if lam is not None else jnp.zeros((S,), x.dtype)
     tt_in = tt_old if tt_old is not None else jnp.zeros((S, d), x.dtype)
-    fs, fr, lam_new, tt_new = jax.vmap(per_slave)(slave, p["area"], cand,
-                                                  lam_in, tt_in)
+    w_in = w_old if w_old is not None else jnp.zeros((S,), x.dtype)
+    fs, fr, lam_new, tt_new, w_new = jax.vmap(per_slave)(
+        slave, p["area"], cand, lam_in, tt_in, w_in)
     f = jnp.zeros_like(x)
     f = f.at[slave].add(fs)
     mnodes = mconn[cand]  # (S, K, 4)
     f = f.at[mnodes.reshape(-1)].add(fr.reshape(-1, d))
-    return f, {"lam": lam_new, "tt": tt_new}
+    return f, {"lam": lam_new, "tt": tt_new, "w": w_new}

@@ -542,6 +542,7 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                         penalty_t=float(item.get("penalty_t", 0.0)),
                         uzawa_max_iter=int(item.get("uzawa_max_iter", 8)),
                         uzawa_tol=float(item.get("uzawa_tol", 1e-8)),
+                        wear_coeff=float(item.get("wear_coeff", 0.0)),
                     )
                 )
             else:

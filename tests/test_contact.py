@@ -281,3 +281,39 @@ conditions:
     assert abs(float(pen_depth)) < 0.15 * sigma / 2000.0 + 2e-4
     # compression shared between the blocks as in the patch test
     assert d[lower_top, 2].mean() == pytest.approx(-eps_each, rel=0.1)
+
+
+def test_contact_archard_wear():
+    """Sliding under load accumulates Archard wear w = k_w * p_n * slip on
+    the slave nodes; the worn surface unloads (ref: src/contact wear,
+    4C_contact_wear_* — wear increments from frictional slip)."""
+    import re
+
+    deck_slide = _friction_deck(mu=0.05)
+    # rebuild the same deck with a wear coefficient
+    kw = 2e-4
+    cc = deck_slide.conditions["structure"]["contact"][0]
+    from dataclasses import replace
+
+    deck_slide.conditions["structure"]["contact"][0] = replace(
+        cc, wear_coeff=kw)
+    res = driver.run(deck_slide)
+
+    con = res.states["structure"]["con"][0]
+    w = np.asarray(con["w"])
+    assert np.all(w >= 0.0)
+    assert w.max() > 0.0, "sliding must produce wear"
+
+    # Archard consistency: total wear ~ k_w * sum(p_n * slip); slip ~ the
+    # prescribed drag minus elastic deformation.  Check the order of
+    # magnitude (nodal p ~ pen*penetration, slip per step bounded by drag)
+    assert w.max() < kw * 1e4 * 0.05  # < k_w * (max force) * (total drag)
+
+    # no-slip case: stick (huge mu) accrues (almost) no wear
+    deck_stick = _friction_deck(mu=2.0)
+    cc2 = deck_stick.conditions["structure"]["contact"][0]
+    deck_stick.conditions["structure"]["contact"][0] = replace(
+        cc2, wear_coeff=kw)
+    res2 = driver.run(deck_stick)
+    w2 = np.asarray(res2.states["structure"]["con"][0]["w"])
+    assert w2.max() <= 0.05 * max(w.max(), 1e-30)
