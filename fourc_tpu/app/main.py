@@ -32,6 +32,11 @@ def main(argv=None):
     p.add_argument("--debug-nans", action="store_true",
                    help="raise on NaN/Inf in any computation (the analog of "
                         "the reference's FPE trapping, feenableexcept)")
+    p.add_argument("--ngroup", type=int, default=1,
+                   help="run N independent instances of the deck and compare "
+                        "their results (the reference's -ngroup nested "
+                        "parallelism with nptype=diffgroup; ref: "
+                        "4C_comm_utils.hpp:94-150, main help :78-82)")
     args = p.parse_args(argv)
 
     if args.parameters:
@@ -64,7 +69,26 @@ def main(argv=None):
           f"discretizations={ {k: (v.n_nodes, v.n_elements) for k, v in deck.disc.items()} }, "
           f"devices={jax.devices()}")
 
-    if args.profile:
+    if args.ngroup > 1:
+        # diffgroup: every group must produce bitwise-identical states
+        # (determinism oracle; the reference compares group 0 vs 1 results)
+        import numpy as np
+
+        results = []
+        for g in range(args.ngroup):
+            results.append(driver.run(deck_mod.load(args.deck)))
+        result = results[0]
+        for g, rg in enumerate(results[1:], start=1):
+            for name, st in result.states.items():
+                l0, _ = jax.tree_util.tree_flatten(st)
+                lg, _ = jax.tree_util.tree_flatten(rg.states[name])
+                for a, b in zip(l0, lg):
+                    if not np.array_equal(np.asarray(a), np.asarray(b)):
+                        print(f"[DIFFGROUP] group {g} field {name} "
+                              f"differs from group 0")
+                        return 1
+        print(f"diffgroup: {args.ngroup} groups bitwise identical")
+    elif args.profile:
         with jax.profiler.trace(args.profile):
             result = driver.run(deck)
     else:
