@@ -78,10 +78,27 @@ def run(deck, callbacks=None) -> drv.RunResult:
 
     timers = Timers()
     with timers("setup"):
+        from fourc_tpu.physics.beam_solid import BeamSolidField
         from fourc_tpu.physics.shell import ShellField
 
-        f = build_field(deck)
-        if isinstance(f, (pb.BeamField, ShellField)):
+        if "beams" in deck.disc and "structure" in deck.disc:
+            # embedded fibers: solid + beams + volume mesh tying
+            # (ref: src/beaminteraction BTS-VMT)
+            f_solid = build_field(deck, "structure")
+            materials = {mid: make_material(spec)
+                         for mid, spec in deck.materials.items()}
+            bconds = deck.conditions.get("beams", {})
+            f_beam = pb.BeamField(
+                deck.disc["beams"], materials, f_solid.params,
+                dirichlet=bconds.get("dirichlet", ()),
+                point_neumann=bconds.get("point_neumann", ()),
+                functions=deck.functions)
+            dyn = deck.sections["structural_dynamic"]
+            f = BeamSolidField(f_solid, f_beam,
+                               penalty=dyn.get("bts_penalty", 1e4) or 1e4)
+        else:
+            f = build_field(deck)
+        if isinstance(f, (pb.BeamField, ShellField, BeamSolidField)):
             state = ps.compute_initial_state(f, pb.init_state(f))
             mkstep = lambda dt: pb.make_step(f, dt)  # noqa: E731
         else:
