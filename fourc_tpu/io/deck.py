@@ -171,7 +171,7 @@ DECK_SPEC = {
                          "fsi", "ssi", "particle", "lubrication", "elch",
                          "poroelasticity", "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
-                         "porofluidmultiphase"),
+                         "porofluidmultiphase", "loma"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -228,6 +228,17 @@ DECK_SPEC = {
             "q_in_funct": param(int, 1, doc="inlet flow Q_in(t) FUNCT id"),
         },
         doc="ARTERIAL DYNAMIC (1D network, explicit Taylor-Galerkin)",
+    ),
+    "loma_dynamic": group(
+        {
+            "timestep": param(float, 0.1),
+            "numstep": param(int, 1),
+            "p_thermo": param(float, 101325.0, doc="thermodynamic pressure"),
+            "gas_constant": param(float, 287.0),
+            "initial_t_funct": param(int, 0, doc="initial T field FUNCT id"),
+            "tolres": param(float, 1e-8),
+        },
+        doc="LOMA DYNAMIC (low-Mach fluid + temperature)",
     ),
     "porofluid_dynamic": group(
         {

@@ -74,6 +74,8 @@ def residual(
     grid_vel=None,
     smagorinsky_cs: float = 0.0,
     cs2_gp=None,
+    rho_gp=None,
+    cont_src_gp=None,
 ):
     """Element residual: (f_mom (e, nen, d), f_cont (e, nen)).
 
@@ -99,15 +101,19 @@ def residual(
     p = jnp.einsum("ga,ea->eg", N, pe)
     gradp = jnp.einsum("egad,ea->egd", G, pe)
 
+    # variable density (low-Mach: rho = p0/(R T); ref: src/loma + the
+    # fluid_ele loma variant): Galerkin momentum/R_M use rho(x); the
+    # stabilization parameters keep the constant reference rho
+    rho_m = rho_gp[..., None] if rho_gp is not None else rho
     conv = jnp.einsum("egj,egij->egi", c, gradu)  # (c.grad)u, c = u - u_grid
-    R_M = rho * (udot + conv) + gradp
+    R_M = rho_m * (udot + conv) + gradp
     if body_gp is not None:
-        R_M = R_M - rho * body_gp
+        R_M = R_M - rho_m * body_gp
 
     # Galerkin momentum: w.rho(udot+conv) - p div w + 2 mu eps(w):eps(u)
-    f_mom = jnp.einsum("eg,ga,egi->eai", wdet, N, rho * (udot + conv))
+    f_mom = jnp.einsum("eg,ga,egi->eai", wdet, N, rho_m * (udot + conv))
     if body_gp is not None:
-        f_mom = f_mom - jnp.einsum("eg,ga,egi->eai", wdet, N, rho * body_gp)
+        f_mom = f_mom - jnp.einsum("eg,ga,egi->eai", wdet, N, rho_m * body_gp)
     f_mom = f_mom - jnp.einsum("eg,egai,eg->eai", wdet, G, p)
     eps = 0.5 * (gradu + jnp.swapaxes(gradu, -1, -2))
     mu_eff = mu
@@ -125,8 +131,10 @@ def residual(
             "eg,eg,egij,egaj->eai", wdet, mu_eff - mu, eps, G)
     f_mom = f_mom + 2.0 * mu * jnp.einsum("eg,egij,egaj->eai", wdet, eps, G)
 
-    # Galerkin continuity: q div u
+    # Galerkin continuity: q div u (low-Mach: div u = thermal expansion src)
     f_cont = jnp.einsum("eg,ga,eg->ea", wdet, N, divu)
+    if cont_src_gp is not None:
+        f_cont = f_cont - jnp.einsum("eg,ga,eg->ea", wdet, N, cont_src_gp)
 
     if supg or pspg or graddiv:
         tau_m, tau_c = stab_params(

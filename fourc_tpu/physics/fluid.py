@@ -115,7 +115,7 @@ class FluidField:
         return out
 
     def residual_transient(self, x, xdot, t, dt=None, mesh_disp=None,
-                           mesh_vel=None):
+                           mesh_vel=None, rho_gp=None, cont_src_gp=None):
         """Global stabilized N-S residual; x = interleaved [u, p] per node.
 
         mesh_disp/mesh_vel: (n_nodes, dim) ALE mesh motion (or None) — the
@@ -154,6 +154,9 @@ class FluidField:
                 body_gp=self.body_at_gps(key, t), dt=dt,
                 supg=p.supg, pspg=p.pspg, graddiv=p.graddiv,
                 grid_vel=gv, smagorinsky_cs=p.smagorinsky_cs, cs2_gp=cs2,
+                rho_gp=None if rho_gp is None else rho_gp.get(key),
+                cont_src_gp=(None if cont_src_gp is None
+                             else cont_src_gp.get(key)),
             )
             fe = jnp.concatenate([f_mom, f_cont[..., None]], axis=-1)
             per_block[key] = fe.reshape(fe.shape[0], -1)

@@ -165,7 +165,7 @@ class ScalarField:
         return s
 
     def residual_transient(self, phi, phidot, t, dt=None, extra_source=None,
-                           mesh_disp=None):
+                           mesh_disp=None, vel_nodes=None):
         """Global residual r(phi, phidot) at time t.
 
         extra_source: optional {block_key: (e,g)} coupling source at GPs
@@ -186,13 +186,23 @@ class ScalarField:
             Xe = self.block_X[key]
             if mesh_disp is not None:
                 Xe = Xe + mesh_disp[dm.blocks[key].conn]
+            vel_gp = self.velocity_at_gps(key, t)
+            if vel_nodes is not None:
+                # numeric convective velocity (e.g. the fluid solution in
+                # loma / coupled transport), interpolated to GPs
+                vel_e = vel_nodes[dm.blocks[key].conn]
+                vel_num = jnp.einsum("ga,ead->egd",
+                                     jnp.asarray(cell.N, Xe.dtype), vel_e)
+                vel_gp = vel_num if vel_gp is None else vel_gp + vel_num
             fe = ops.residual(
                 Xe, phie, phidote, cell,
                 diff, rhoc,
-                vel_gp=self.velocity_at_gps(key, t),
+                vel_gp=vel_gp,
                 reaction=reaction,
                 source_gp=src,
-                tau_kind=self.params.stab if self._vel_fn is not None else "zero",
+                tau_kind=(self.params.stab
+                          if (self._vel_fn is not None or vel_nodes is not None)
+                          else "zero"),
                 dt=dt,
             )
             per_block[key] = fe
