@@ -412,8 +412,16 @@ def _make(name, dim, fn, rule, surfaces=(), edges=()):
     )
 
 
+_CUSTOM_CELLS: dict = {}
+
+
+def register_custom_cell(cell: "CellType"):
+    """Register a dynamically built cell (NURBS span groups etc.)."""
+    _CUSTOM_CELLS[cell.name.lower()] = cell
+
+
 @functools.lru_cache(maxsize=None)
-def get_cell(name: str, ngp: int | None = None) -> CellType:
+def _get_builtin(name: str, ngp: int | None = None) -> CellType:
     """Look up a cell type, optionally with a non-default quadrature order.
 
     Default rules match the reference's defaults (hex8: 2x2x2, hex20/27:
@@ -449,6 +457,13 @@ def get_cell(name: str, ngp: int | None = None) -> CellType:
     if name == "pyramid5":
         return _make("pyramid5", 3, _n_pyramid5, _pyramid_rule())
     raise KeyError(f"unknown cell type {name!r}")
+
+
+def get_cell(name: str, ngp: int | None = None) -> CellType:
+    nm = name.lower()
+    if nm in _CUSTOM_CELLS:
+        return _CUSTOM_CELLS[nm]
+    return _get_builtin(nm, ngp)
 
 
 # Face cell type for each volume cell's surfaces (used for Neumann loads)

@@ -420,6 +420,15 @@ def _build_geometry(geo: dict, cfg) -> dict:
                     u=tuple(g.pop("u", (1, 0, 0))), v=tuple(g.pop("v", (0, 1, 0))),
                     cell=g.pop("cell", "quad4"), name=name, mat_id=mat,
                 )
+            elif kind == "nurbs_patch":
+                from fourc_tpu.core import nurbs
+
+                d = nurbs.patch_rectangle(
+                    int(g.pop("nx")), int(g.pop("ny")),
+                    degree=int(g.pop("degree", 2)),
+                    lo=tuple(g.pop("lo", (0, 0))), hi=tuple(g.pop("hi", (1, 1))),
+                    name=name, mat_id=mat,
+                )
             elif kind == "rectangle":
                 d = gridgen.rectangle(
                     int(g.pop("nx")), int(g.pop("ny")),
