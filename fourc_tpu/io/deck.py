@@ -546,6 +546,11 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                             "master_nodes": _resolve_nodes(disc, item["master"]),
                         }
                     )
+            elif key == "electrode_kinetics":
+                f.setdefault("electrode_kinetics", []).append({
+                    "faces": _resolve_faces(disc, item.pop("faces")),
+                    "spec": item,
+                })
             elif key == "contact":
                 from fourc_tpu.contact.penalty import ContactCondition
 

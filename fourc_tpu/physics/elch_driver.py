@@ -93,6 +93,59 @@ class ElchField:
                         for key in self.dofmap.blocks}
         # ENC row scaling for conditioning (dimensionless O(1) wrt species eq)
         self.enc_scale = 1.0
+        # electrode-kinetics (S2I Butler-Volmer) boundary data
+        self.electrodes = []  # [(spec dict, face cell, conn, Xf)]
+
+    def add_electrode(self, spec, face_blocks):
+        """Butler-Volmer electrode boundary (ref: the reference's
+        ElchElectrodeKinetics condition, scatra_ele elch electrode-kinetics
+        boundary terms 4C_scatra_ele_boundary_calc_elch_electrode.*):
+
+          i = i0 [exp(alpha_a F eta / RT) - exp(-alpha_c F eta / RT)],
+          eta = V_metal - phi - e0;  species flux n.N_s = i / (z_s F).
+
+        spec: {species (1-based id), i0, alpha_a, alpha_c, e0, v_funct}.
+        """
+        from fourc_tpu.core.cells import get_cell
+
+        for fb in face_blocks:
+            fc = get_cell(fb.cell)
+            conn = jnp.asarray(np.asarray(fb.conn))
+            self.electrodes.append((dict(spec), fc, conn, self.coords[conn]))
+
+    def _electrode_flux(self, y, t):
+        """Boundary residual contributions from electrode kinetics."""
+        from fourc_tpu.ops import common as gm
+
+        r = jnp.zeros((self.ndof,), y.dtype)
+        if not self.electrodes:
+            return r
+        yn = y.reshape(-1, self.ndpn)
+        F = self.mat.faraday
+        frt = self.mat.frt
+        for spec, fc, conn, Xf in self.electrodes:
+            k = int(spec.get("species", 1)) - 1
+            z = self.mat.valences[k]
+            i0 = float(spec["i0"])
+            aa = float(spec.get("alpha_a", 0.5))
+            ac = float(spec.get("alpha_c", 0.5))
+            e0 = float(spec.get("e0", 0.0))
+            vfn = self.functions.get(int(spec.get("v_funct", 0) or 0)) \
+                if spec.get("v_funct") else None
+            N = jnp.asarray(fc.N, y.dtype)
+            dA, _ = gm.surface_measure(Xf, fc.dN)
+            w = jnp.asarray(fc.gauss_weights, y.dtype)
+            phig = jnp.einsum("ga,ea->eg", N, yn[:, self.K][conn])
+            xg = gm.interp_field(Xf, fc.N)
+            V = vfn(xg, t, component=0) if vfn is not None else 0.0
+            eta = V - phig - e0
+            i = i0 * (jnp.exp(aa * frt * eta) - jnp.exp(-ac * frt * eta))
+            # species mass flux INTO the electrolyte: i/(zF); residual is
+            # r = f_int - f_bnd
+            fe = jnp.einsum("g,eg,ga,eg->ea", w, dA, N, i / (z * F))
+            dof = conn * self.ndpn + k
+            r = r.at[dof.reshape(-1)].add(-fe.reshape(-1))
+        return r
 
     def _cell(self, key):
         from fourc_tpu.core.cells import get_cell
@@ -123,7 +176,7 @@ class ElchField:
             )
             per_block[key] = jnp.concatenate([f_c, f_phi[..., None]], axis=-1) \
                 .reshape(f_c.shape[0], -1)
-        return dm.scatter_add(per_block)
+        return dm.scatter_add(per_block) + self._electrode_flux(y, t)
 
     def build_preconditioner(self, dt_factor):
         """Jacobi on species diagonals (diffusion + capacity); identity on
@@ -168,10 +221,13 @@ def build_field(deck) -> ElchField:
     materials = {mid: make_material(spec) for mid, spec in deck.materials.items()}
     fieldname = next(iter(deck.disc))
     conds = deck.conditions.get(fieldname, {}) or deck.conditions.get("elch", {})
-    return ElchField(disc, materials, params,
-                     dirichlet=conds.get("dirichlet", ()),
-                     neumann=conds.get("neumann", ()),
-                     functions=deck.functions)
+    f = ElchField(disc, materials, params,
+                  dirichlet=conds.get("dirichlet", ()),
+                  neumann=conds.get("neumann", ()),
+                  functions=deck.functions)
+    for ek in conds.get("electrode_kinetics", ()):
+        f.add_electrode(ek["spec"], ek["faces"])
+    return f
 
 
 def init_state(f: ElchField):

@@ -120,3 +120,56 @@ def test_binary_electrolyte_junction_potential():
     phi_ref = -(1.0 / FRT) * beta * np.log(cp[interior] / CL)
     assert np.allclose(phi[interior], phi_ref, rtol=0.0,
                        atol=0.08 * np.abs(phi_ref).max())
+
+
+def test_butler_volmer_electrode_kinetics():
+    """Two-electrode cell (anode x=1 at V=0.2, cathode x=0 at V=0):
+    Butler-Volmer interfaces drive a current; the transported cation
+    polarizes (accumulates at the anode side where it is injected),
+    electroneutrality holds in the bulk, and the two electrode currents
+    balance at steady state (ref: 4C_scatra_ele_boundary_calc_elch_electrode.*).
+
+    Scaled units: F = R = T = 1 -> frt = 1.
+    """
+    deck = dm.load("""
+problem: {type: elch}
+scatra_dynamic: {dynamictype: onesteptheta, theta: 1.0, timestep: 0.05,
+                 numstep: 30, maxiter: 12, tolres: 1e-10, toldisp: 1e-10,
+                 normcombi: or}
+solver: {method: gmres, precond: jacobi, maxiter: 3000, rtol: 1e-10,
+         gmres_restart: 100}
+functions:
+  1: "0.2"
+  2: "0.0"
+materials:
+  1: {type: elchmat, temperature: 1.0, faraday: 1.0, gas_constant: 1.0,
+      species: [{valence: 1.0, diffusivity: 1.0, c0: 1.0},
+                {valence: -1.0, diffusivity: 1.0, c0: 1.0}]}
+geometry:
+  generator: {kind: rectangle, nx: 10, ny: 2, cell: quad4, mat: 1,
+              lo: [0, 0], hi: [1, 0.2], name: elch}
+conditions:
+  electrode_kinetics:
+    - {faces: xmax, species: 1, i0: 0.5, alpha_a: 0.5, alpha_c: 0.5,
+       e0: 0.0, v_funct: 1}
+    - {faces: xmin, species: 1, i0: 0.5, alpha_a: 0.5, alpha_c: 0.5,
+       e0: 0.0, v_funct: 2}
+""")
+    res = driver.run(deck)
+    f = res.fields["elch"].f
+    y = np.asarray(res.states["elch"]["y"]).reshape(-1, f.ndpn)
+    X = np.asarray(f.disc.coords)
+    c1, c2, phi = y[:, 0], y[:, 1], y[:, 2]
+
+    # cation injected at the anode (x=1), consumed at the cathode (x=0)
+    c1_an = c1[np.isclose(X[:, 0], 1.0)].mean()
+    c1_ca = c1[np.isclose(X[:, 0], 0.0)].mean()
+    assert c1_an > 1.0 + 1e-3
+    assert c1_ca < 1.0 - 1e-3
+    # electroneutrality: z1 c1 + z2 c2 = 0 -> c1 = c2
+    assert np.abs(c1 - c2).max() < 1e-6 * np.abs(c1).max()
+    # potential drops from anode to cathode side (current flows +x to -x
+    # inside the electrolyte? sign: higher phi near the anode)
+    phi_an = phi[np.isclose(X[:, 0], 1.0)].mean()
+    phi_ca = phi[np.isclose(X[:, 0], 0.0)].mean()
+    assert phi_an > phi_ca
