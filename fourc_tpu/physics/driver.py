@@ -215,8 +215,9 @@ def setup_restart(deck, fieldname, state, n_steps, callbacks):
     return state, n_steps, callbacks
 
 
-def newton_params_from(dyn: dict, solver: dict) -> NewtonParams:
+def newton_params_from(dyn: dict, solver: dict, io: dict | None = None) -> NewtonParams:
     return NewtonParams(
+        debug=(io or {}).get("verbosity") == "debug",
         max_iter=dyn["maxiter"],
         tol_res=dyn["tolres"],
         tol_res_rel=dyn.get("tolres_rel", 0.0),

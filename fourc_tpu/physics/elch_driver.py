@@ -213,7 +213,7 @@ def build_field(deck) -> ElchField:
     solver = deck.sections["solver"]
     params = st.ScalarParams(
         dyntype=dyn["dynamictype"], dt=dyn["timestep"], n_steps=dyn["numstep"],
-        theta=dyn["theta"], newton=drv.newton_params_from(dyn, solver),
+        theta=dyn["theta"], newton=drv.newton_params_from(dyn, solver, deck.sections.get("io")),
         divercont=dyn["divercont"], dtype=deck.problem["dtype"],
     )
     if params.newton.lin_method == "cg":  # NP+ENC system is nonsymmetric

@@ -53,6 +53,11 @@ class NewtonParams:
     # solution, reduces to plain Newton as dt_ptc -> inf.
     ptc: bool = False
     ptc_dt0: float = 1.0  # initial pseudo time step
+    # per-iteration convergence table (the analog of the reference's
+    # EveryIterationWriter / NOX iteration printout,
+    # ref: 4C_io_every_iteration_writer.hpp:35); emitted from inside the
+    # jitted loop via jax.debug.print (io verbosity 'debug')
+    debug: bool = False
 
 
 def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
@@ -147,6 +152,11 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
 
         r_new = masked_res(u_new)
         rnorm_new = jnp.linalg.norm(r_new)
+        if params.debug:
+            jax.debug.print(
+                "  newton it {k}: |r| {r:.6e} -> {rn:.6e}  |du| {dn:.3e}  "
+                "krylov {ki}", k=k + 1, r=rnorm, rn=rnorm_new,
+                dn=jnp.linalg.norm(du), ki=res.iters)
         if params.ptc:
             # SER: dt_ptc *= ||r_old|| / ||r_new||  (sigma = 1/dt_ptc)
             sigma = sigma * rnorm_new / jnp.maximum(rnorm, 1e-300)

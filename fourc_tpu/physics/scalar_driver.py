@@ -31,7 +31,7 @@ def build_field(deck, section: str, disc_name: str) -> st.ScalarField:
         n_steps=dyn["numstep"],
         theta=dyn["theta"],
         genalpha=st.GenAlphaScalarParams(rho_inf=dyn["rho_inf"]),
-        newton=drv.newton_params_from(dyn, solver),
+        newton=drv.newton_params_from(dyn, solver, deck.sections.get("io")),
         stab=dyn.get("stab", "taylor"),
         velocity=dyn.get("velocity"),
         initial_funct=dyn.get("initialfield_funct", 0),

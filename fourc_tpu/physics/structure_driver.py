@@ -28,7 +28,7 @@ def build_field(deck, disc_name="structure"):
         n_steps=dyn["numstep"],
         theta=dyn["theta"],
         genalpha=ps.GenAlphaParams(rho_inf=dyn["rho_inf"]),
-        newton=drv.newton_params_from(dyn, solver),
+        newton=drv.newton_params_from(dyn, solver, deck.sections.get("io")),
         precond=solver["precond"],
         mass="lumped" if dyn["lumpmass"] else "consistent",
         rayleigh_alpha=dyn["m_damp"],

@@ -106,3 +106,28 @@ def test_monitor_csv_diff(tmp_path):
     c.write_text("step,val\n1,1.0\n2,2.1\n")
     with pytest.raises(AssertionError):
         compare_csv(str(a), str(c), rtol=1e-8)
+
+
+def test_debug_verbosity_prints_newton_iterations(capfd):
+    """io verbosity 'debug' emits per-Newton-iteration lines (the
+    EveryIterationWriter / NOX printout analog)."""
+    deck = dm.load("""
+problem: {type: structure}
+structural_dynamic: {dynamictype: statics, kinem: linear, numstep: 1,
+                     timestep: 1.0, tolres: 1e-9, toldisp: 1e-9, normcombi: or}
+io: {verbosity: debug}
+solver: {method: cg, precond: block_jacobi}
+functions:
+  1: "t"
+materials:
+  1: {type: stvenantkirchhoff, youngs: 1000.0, nue: 0.3}
+geometry:
+  generator: {kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1}
+conditions:
+  dirichlet:
+    - {nodes: xmin, onoff: [1,1,1], val: [0,0,0]}
+    - {nodes: xmax, onoff: [1,0,0], val: [0.1], funct: [1]}
+""")
+    driver.run(deck)
+    out = capfd.readouterr().out + capfd.readouterr().err
+    assert "newton it 1" in out
