@@ -190,3 +190,124 @@ def init_state(x0, v0=None):
     v0 = jnp.zeros_like(x0) if v0 is None else jnp.asarray(v0, x0.dtype)
     return {"x": x0, "v": v0, "a": jnp.zeros_like(x0),
             "t": jnp.asarray(0.0, x0.dtype)}
+
+
+# ---------------------------------------------------------------------------
+# rigid-body aggregates (ref: src/particle_rigidbody — rigid bodies made of
+# affiliated particles: aggregated mass/inertia, forces/torques reduced onto
+# the body, particle positions slaved to the body frame)
+# ---------------------------------------------------------------------------
+
+
+def _quat_mul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def _quat_rot(q, v):
+    """Rotate v (..., 3) by unit quaternion q (4,)."""
+    w, x, y, z = q
+    R = jnp.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+    return v @ R.T
+
+
+class RigidBodies:
+    """Rigid aggregates of DEM particles.
+
+    body_of: (n,) int — body id per particle, -1 = free particle.
+    Bodies aggregate mass, center of mass and inertia from their particles
+    ONCE (reference configuration); each step reduces particle forces to
+    body force + torque, advances the body (semi-implicit Euler +
+    quaternion update) and slaves the member particles back.
+    """
+
+    def __init__(self, x0, masses, body_of, n_bodies):
+        import numpy as np
+
+        x0 = np.asarray(x0)
+        m = np.asarray(masses)
+        self.body_of = jnp.asarray(np.asarray(body_of, np.int32))
+        self.n_bodies = int(n_bodies)
+        M = np.zeros(n_bodies)
+        com = np.zeros((n_bodies, 3))
+        np.add.at(M, body_of[body_of >= 0], m[body_of >= 0])
+        for b in range(n_bodies):
+            sel = body_of == b
+            com[b] = (m[sel, None] * x0[sel]).sum(0) / M[b]
+        # body-frame offsets + inertia (point-mass particles)
+        r = x0 - com[np.maximum(body_of, 0)]
+        I = np.zeros((n_bodies, 3, 3))
+        for b in range(n_bodies):
+            sel = body_of == b
+            rr = r[sel]
+            for k in range(rr.shape[0]):
+                d = rr[k]
+                I[b] += m[sel][k] * ((d @ d) * np.eye(3) - np.outer(d, d))
+        self.mass = jnp.asarray(M)
+        self.inertia_inv = jnp.asarray(np.linalg.inv(
+            I + 1e-12 * np.eye(3)[None]))
+        self.r0 = jnp.asarray(r)  # reference offsets
+        self.member = self.body_of >= 0
+
+    def init_state(self, com0=None):
+        import numpy as np
+
+        return {
+            "com": jnp.zeros((self.n_bodies, 3)) if com0 is None else jnp.asarray(com0),
+            "vel": jnp.zeros((self.n_bodies, 3)),
+            "quat": jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (self.n_bodies, 1)),
+            "omega": jnp.zeros((self.n_bodies, 3)),
+        }
+
+    def reduce_forces(self, x, f):
+        """Particle forces -> (body force (B,3), body torque (B,3))."""
+        bid = jnp.maximum(self.body_of, 0)
+        w = self.member[:, None]
+        F = jnp.zeros((self.n_bodies, 3)).at[bid].add(jnp.where(w, f, 0.0))
+        # torque about current COM
+        com_x = jnp.zeros((self.n_bodies, 3)).at[bid].add(
+            jnp.where(w, x, 0.0))
+        cnt = jnp.zeros((self.n_bodies,)).at[bid].add(
+            jnp.where(self.member, 1.0, 0.0))
+        com = com_x / jnp.maximum(cnt, 1.0)[:, None]
+        arm = x - com[bid]
+        tau = jnp.zeros((self.n_bodies, 3)).at[bid].add(
+            jnp.where(w, jnp.cross(arm, f), 0.0))
+        return F, tau
+
+    def step(self, bstate, F, tau, dt):
+        """Semi-implicit Euler + incremental quaternion rotation."""
+        vel = bstate["vel"] + dt * F / self.mass[:, None]
+        omega = bstate["omega"] + dt * jnp.einsum(
+            "bij,bj->bi", self.inertia_inv, tau)
+        com = bstate["com"] + dt * vel
+        # quaternion update: q <- dq(omega dt) * q
+        th = jnp.linalg.norm(omega, axis=1, keepdims=True) * dt
+        axis = omega / jnp.maximum(jnp.linalg.norm(omega, axis=1,
+                                                   keepdims=True), 1e-30)
+        half = 0.5 * th[:, 0]
+        dq = jnp.concatenate([jnp.cos(half)[:, None],
+                              jnp.sin(half)[:, None] * axis], axis=1)
+        quat = jax.vmap(_quat_mul)(dq.T.T, bstate["quat"])
+        quat = quat / jnp.linalg.norm(quat, axis=1, keepdims=True)
+        return {"com": com, "vel": vel, "quat": quat, "omega": omega}
+
+    def slave_particles(self, bstate, x, v):
+        """Overwrite member particle positions/velocities from the bodies."""
+        bid = jnp.maximum(self.body_of, 0)
+        rot_r = jax.vmap(lambda q, r: _quat_rot(q, r))(
+            bstate["quat"][bid], self.r0)
+        x_new = bstate["com"][bid] + rot_r
+        v_new = bstate["vel"][bid] + jnp.cross(bstate["omega"][bid], rot_r)
+        sel = self.member[:, None]
+        return jnp.where(sel, x_new, x), jnp.where(sel, v_new, v)

@@ -120,3 +120,50 @@ def test_gridhash_matches_allpairs_sph():
     a_gh, _, _ = gh.sph_accel_grid(jnp.asarray(x), jnp.asarray(v),
                                    jnp.asarray(masses), params, grid)
     assert np.allclose(np.asarray(a_ap), np.asarray(a_gh), atol=1e-9)
+
+
+def test_rigid_body_dumbbell_rotation():
+    """A rigid 2-particle dumbbell with initial spin rotates rigidly:
+    inter-particle distance preserved, angular speed constant (free body,
+    principal-axis rotation) — ref: src/particle_rigidbody semantics."""
+    import jax.numpy as jnp
+
+    from fourc_tpu.particles.engine import RigidBodies
+
+    x0 = np.array([[-0.5, 0, 0], [0.5, 0, 0]])
+    m = np.array([1.0, 1.0])
+    rb = RigidBodies(x0, m, body_of=np.array([0, 0]), n_bodies=1)
+    bs = rb.init_state(com0=np.array([[0.0, 0, 0]]))
+    bs = dict(bs, omega=jnp.asarray([[0.0, 0.0, 2.0]]))
+
+    x = jnp.asarray(x0)
+    v = jnp.zeros_like(x)
+    dt = 1e-3
+    for _ in range(500):  # t = 0.5, rotation angle 1 rad
+        F = jnp.zeros((1, 3))
+        tau = jnp.zeros((1, 3))
+        bs = rb.step(bs, F, tau, dt)
+        x, v = rb.slave_particles(bs, x, v)
+    d = float(jnp.linalg.norm(x[1] - x[0]))
+    assert abs(d - 1.0) < 1e-10  # rigid
+    ang = np.arctan2(float(x[1, 1]), float(x[1, 0]))
+    assert abs(ang - 1.0) < 1e-6  # omega * t = 2 * 0.5
+    assert abs(float(jnp.linalg.norm(bs["omega"])) - 2.0) < 1e-10
+
+
+def test_rigid_body_force_reduction_and_torque():
+    """Equal+opposite forces on the dumbbell ends produce pure torque; a
+    common force produces pure COM acceleration."""
+    import jax.numpy as jnp
+
+    from fourc_tpu.particles.engine import RigidBodies
+
+    x0 = np.array([[-0.5, 0, 0], [0.5, 0, 0]])
+    rb = RigidBodies(x0, np.array([1.0, 1.0]), np.array([0, 0]), 1)
+    x = jnp.asarray(x0)
+    F, tau = rb.reduce_forces(x, jnp.asarray([[0, -1.0, 0], [0, 1.0, 0]]))
+    assert np.allclose(F, 0.0, atol=1e-12)
+    assert np.allclose(tau, [[0, 0, 1.0]], atol=1e-12)  # r x f = 0.5+0.5
+    F2, tau2 = rb.reduce_forces(x, jnp.asarray([[0, 2.0, 0], [0, 2.0, 0]]))
+    assert np.allclose(F2, [[0, 4.0, 0]], atol=1e-12)
+    assert np.allclose(tau2, 0.0, atol=1e-12)
