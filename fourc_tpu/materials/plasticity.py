@@ -111,3 +111,102 @@ class ViscoPlasticPerzyna(HistoryMaterial):
             [(eps_p + deps_p).reshape(9), h[9:18], (kappa + dgamma)[None]]
         )
         return sig, h_new
+
+
+def _sqrtm_db(C, iters=7):
+    """Denman-Beavers square root (AD-smooth at repeated eigenvalues)."""
+    tr = jnp.trace(C) / 3.0
+    Y = C / tr
+    Z = jnp.eye(3, dtype=C.dtype)
+    for _ in range(iters):
+        Yn = 0.5 * (Y + jnp.linalg.inv(Z))
+        Z = 0.5 * (Z + jnp.linalg.inv(Y))
+        Y = Yn
+    return Y * jnp.sqrt(tr)
+
+
+def _logm_spd(C, roots=3, terms=10):
+    """Matrix logarithm of an SPD 3x3 via inverse scaling-and-squaring:
+    repeated smooth square roots bring C near I, then a log(1+x) series.
+    Every operation is AD-smooth (no eigendecomposition)."""
+    A = C
+    for _ in range(roots):
+        A = _sqrtm_db(A)
+    X = A - jnp.eye(3, dtype=C.dtype)
+    out = jnp.zeros_like(C)
+    P = X
+    for k in range(1, terms + 1):
+        out = out + ((-1.0) ** (k + 1) / k) * P
+        P = P @ X
+    return out * (2.0 ** roots)
+
+
+@register_material("plasticnlnlogneohooke")
+class PlasticLogFiniteStrain(HistoryMaterial):
+    """Finite-strain J2 plasticity in logarithmic strain space.
+
+    Counterpart of the reference's plasticnlnlogneohooke
+    (ref: src/mat/4C_mat_plasticnlnlogneohooke.* — Hencky hyperelasticity
+    in principal logarithmic strains + von Mises radial return, exact
+    exponential plastic update): the total material log strain
+    eps = 1/2 log(C) splits additively into elastic + plastic parts; the
+    return mapping is the standard small-strain J2 algorithm in that space
+    (linear isotropic hardening), which IS the exponential-map-exact
+    finite-strain algorithm.  TPU-native: the matrix log uses smooth
+    Denman-Beavers roots + a series (AD-safe at repeated stretches, unlike
+    eigh), and the consistent tangent is jvp through the whole update.
+
+    history per GP: [eps_p (6 sym comps), alpha] = 7.
+    """
+
+    kind = "solid_history"
+    history_shape = (7,)
+
+    def __init__(self, youngs, nue, yield_stress, isohard=0.0, density=0.0):
+        self.youngs = float(youngs)
+        self.nue = float(nue)
+        self.sy = float(yield_stress)
+        self.H = float(isohard)
+        self.density = float(density)
+        self.G = self.youngs / (2 * (1 + self.nue))
+        self.K = self.youngs / (3 * (1 - 2 * self.nue))
+
+    @classmethod
+    def from_deck(cls, params):
+        return cls(**params)
+
+    @staticmethod
+    def _unpack(h):
+        e = h[:6]
+        eps_p = jnp.array([[e[0], e[3], e[5]],
+                           [e[3], e[1], e[4]],
+                           [e[5], e[4], e[2]]])
+        return eps_p, h[6]
+
+    @staticmethod
+    def _pack(eps_p, alpha):
+        return jnp.array([eps_p[0, 0], eps_p[1, 1], eps_p[2, 2],
+                          eps_p[0, 1], eps_p[1, 2], eps_p[0, 2], alpha])
+
+    def evaluate(self, C, h):
+        G, K = self.G, self.K
+        eps = 0.5 * _logm_spd(C)
+        eps_p, alpha = self._unpack(h)
+        ee_tr = eps - eps_p
+        tr_e = jnp.trace(ee_tr)
+        dev_tr = ee_tr - tr_e / 3.0 * jnp.eye(3, dtype=C.dtype)
+        s_tr = 2.0 * G * dev_tr
+        snorm = jnp.sqrt(jnp.sum(s_tr * s_tr) + 1e-30)
+        q_tr = jnp.sqrt(1.5) * snorm
+        f = q_tr - (self.sy + self.H * alpha)
+        dgam = jnp.maximum(f, 0.0) / (3.0 * G + self.H)
+        nhat = s_tr / snorm
+        # radial return in log space
+        ee = ee_tr - dgam * jnp.sqrt(1.5) * nhat
+        tau = K * tr_e * jnp.eye(3, dtype=C.dtype) + 2.0 * G * (
+            ee - jnp.trace(ee) / 3.0 * jnp.eye(3, dtype=C.dtype))
+        # material Kirchhoff (coaxial with C) -> PK2: S = C^-1 tau
+        Cinv = jnp.linalg.inv(C)
+        S = 0.5 * (Cinv @ tau + tau @ Cinv)
+        eps_p_new = eps - ee
+        return S, self._pack(eps_p_new, alpha + dgam)

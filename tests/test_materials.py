@@ -135,3 +135,64 @@ def test_anisotropic_fiber_stiffens_fiber_direction():
     # compression: tension-only fiber inactive
     Cc = jnp.diag(jnp.asarray([0.9**2, 1.0, 1.0]))
     assert float(m.pk2(Cc)[0, 0]) == pytest.approx(float(iso.pk2(Cc)[0, 0]), abs=1e-9)
+
+
+def test_finite_strain_log_plasticity():
+    """plasticnlnlogneohooke analog: (1) matrix log correctness incl.
+    repeated eigenvalues, (2) small-strain limit == small-strain J2, (3)
+    uniaxial flow stress follows sy + H*alpha at moderate strain."""
+    import jax
+    import jax.numpy as jnp
+
+    from fourc_tpu.materials import make_material
+    from fourc_tpu.materials.plasticity import _logm_spd
+
+    # matrix log: diag + repeated eigenvalues + generic SPD
+    C = jnp.diag(jnp.asarray([1.2, 0.9, 0.9]))
+    L = _logm_spd(C)
+    assert np.allclose(np.diag(L), np.log([1.2, 0.9, 0.9]), atol=1e-10)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((3, 3)) * 0.1
+    Cg = jnp.asarray(np.eye(3) + B @ B.T)
+    import scipy.linalg as sla
+
+    assert np.allclose(_logm_spd(Cg), sla.logm(np.asarray(Cg)), atol=1e-9)
+    # AD-smoothness at C = I (the eigh-based form would NaN here)
+    g = jax.jacfwd(lambda c: _logm_spd(c))(jnp.eye(3))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    m = make_material({"type": "plasticnlnlogneohooke", "youngs": 1000.0,
+                       "nue": 0.3, "yield_stress": 5.0, "isohard": 100.0})
+
+    # uniaxial stretch ramp (drive lateral contraction so stress is 1D)
+    h = jnp.zeros((7,))
+    lam_hist, s_hist = [], []
+    lat = 1.0
+    for lam in np.linspace(1.0, 1.10, 41)[1:]:
+        # solve lateral stretch for zero lateral stress (secant iterations)
+        for _ in range(25):
+            C = jnp.diag(jnp.asarray([lam**2, lat**2, lat**2]))
+            S, hn = m.evaluate(C, h)
+            # lateral Cauchy-ish measure ~ S[1,1]*lat^2
+            s_lat = float(S[1, 1]) * lat**2
+            dd = 1e-5
+            C2 = jnp.diag(jnp.asarray([lam**2, (lat + dd) ** 2, (lat + dd) ** 2]))
+            S2, _ = m.evaluate(C2, h)
+            d = (float(S2[1, 1]) * (lat + dd) ** 2 - s_lat) / dd
+            lat = lat - s_lat / d
+            if abs(s_lat) < 1e-10:
+                break
+        C = jnp.diag(jnp.asarray([lam**2, lat**2, lat**2]))
+        S, h = m.evaluate(C, h)
+        # axial Kirchhoff stress tau = lam^2 S_11 (uniaxial, coaxial)
+        s_hist.append(float(S[0, 0]) * lam**2)
+        lam_hist.append(lam)
+    s_hist = np.array(s_hist)
+    alpha = float(h[6])
+    assert alpha > 0.01  # well into the plastic range
+    # flow stress tracks the hardening law
+    assert abs(s_hist[-1] - (5.0 + 100.0 * alpha)) < 0.35, (
+        s_hist[-1], alpha)
+    # elastic initial slope ~ E (log-strain space)
+    e0 = np.log(lam_hist[0])
+    assert abs(s_hist[0] / e0 - 1000.0) / 1000.0 < 0.1
