@@ -171,7 +171,7 @@ DECK_SPEC = {
                          "fsi", "ssi", "particle", "lubrication", "elch",
                          "poroelasticity", "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
-                         "porofluidmultiphase", "loma"),
+                         "porofluidmultiphase", "loma", "ssti"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -207,6 +207,15 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "ssti_dynamic": group(
+        {
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "thermal_expansion": param(float, 0.0, doc="alpha_T"),
+            "ref_temp": param(float, 0.0),
+        },
+        doc="SSTI DYNAMIC (scatra-structure-thermo, monolithic)",
     ),
     "cardiovascular0d": group(
         {

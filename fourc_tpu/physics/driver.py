@@ -90,6 +90,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import lubrication_driver
 
         return lubrication_driver.run(deck, callbacks)
+    if ptype == "ssti":
+        from fourc_tpu.physics import ssti_driver
+
+        return ssti_driver.run(deck, callbacks)
     if ptype == "loma":
         from fourc_tpu.physics import loma_driver
 
