@@ -171,7 +171,7 @@ DECK_SPEC = {
                          "fsi", "ssi", "particle", "lubrication", "elch",
                          "poroelasticity", "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
-                         "porofluidmultiphase", "loma", "ssti"),
+                         "porofluidmultiphase", "loma", "ssti", "ehl"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -207,6 +207,19 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "ehl_dynamic": group(
+        {
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "surface": param(str, "ymin", doc="lubricated surface node set"),
+            "viscosity": param(float, 1.0),
+            "height_funct": param(int, 1, doc="rigid film h0(x,t) FUNCT id"),
+            "velocity": None,  # sliding velocity [Ux]
+            "itemax_outer": param(int, 30),
+            "convtol_outer": param(float, 1e-9),
+        },
+        doc="EHL DYNAMIC (structure + Reynolds film, partitioned)",
     ),
     "ssti_dynamic": group(
         {

@@ -78,9 +78,12 @@ def iso_gradients(Xe, dN):
     if d == 3:
         detJ = det3(J)
         Jinv = inv3(J, detJ)
-    else:
+    elif d == 2:
         detJ = det2(J)
         Jinv = inv2(J, detJ)
+    else:  # 1D (line elements with intrinsic coordinates)
+        detJ = J[..., 0, 0]
+        Jinv = 1.0 / detJ[..., None, None]
     G = jnp.einsum("gaj,egji->egai", jnp.asarray(dN), Jinv)
     return G, detJ
 

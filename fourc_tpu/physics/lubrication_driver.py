@@ -47,7 +47,14 @@ class LubricationField:
 
             dirichlet.append(DirichletBC(disc.node_sets["__padding__"], [1], [0.0]))
         self.dbc = DirichletHandler(dirichlet, disc.coords, 1, self.functions)
-        self.coords = jnp.asarray(disc.coords)
+        # intrinsic film coordinates: drop constant axes so a line2 mesh
+        # embedded in 3D integrates as a true 1D film (square Jacobians)
+        cnp = np.asarray(disc.coords)
+        span = np.ptp(cnp, axis=0) > 1e-14 * max(1.0, np.abs(cnp).max())
+        if not span.any():
+            span[0] = True
+        self._span = np.where(span)[0]
+        self.coords = jnp.asarray(cnp[:, self._span])
         self.block_X = {key: self.coords[self.dofmap.blocks[key].conn]
                         for key in self.dofmap.blocks}
         self.visc = float(params["viscosity"])
@@ -59,7 +66,10 @@ class LubricationField:
 
         return get_cell(self.dofmap.blocks[key].cell)
 
-    def residual(self, p, t):
+    def residual(self, p, t, h_nodes=None, hdot_nodes=None):
+        """h_nodes: optional nodal film thickness OVERRIDE (EHL: the film
+        carries the elastic deflection; ref: src/ehl coupling of the
+        Reynolds gap to the structural deformation)."""
         dm = self.dofmap
         per = {}
         for key in dm.blocks:
@@ -69,10 +79,16 @@ class LubricationField:
             wdet = gm.weighted(detJ, cell.gauss_weights)
             N = jnp.asarray(cell.N, Xe.dtype)
             xg = jnp.einsum("ga,ead->egd", N, Xe)  # GP coords
-            h = self.h_fn(xg, t, component=0)  # (e,g)
-            # squeeze term dh/dt by AD through the height function
-            hdot = jax.jacfwd(lambda tt: self.h_fn(xg, tt, component=0))(
-                jnp.asarray(t, xg.dtype))
+            if h_nodes is not None:
+                conn = dm.blocks[key].conn
+                h = jnp.einsum("ga,ea->eg", N, h_nodes[conn])
+                hdot = (jnp.einsum("ga,ea->eg", N, hdot_nodes[conn])
+                        if hdot_nodes is not None else jnp.zeros_like(h))
+            else:
+                h = self.h_fn(xg, t, component=0)  # (e,g)
+                # squeeze term dh/dt by AD through the height function
+                hdot = jax.jacfwd(lambda tt: self.h_fn(xg, tt, component=0))(
+                    jnp.asarray(t, xg.dtype))
             pe = dm.gather(p, key)[..., 0]
             gp = jnp.einsum("egad,ea->egd", G, pe)
             coef = h**3 / (12.0 * self.visc)
