@@ -568,6 +568,12 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                             "master_nodes": _resolve_nodes(disc, item["master"]),
                         }
                     )
+            elif key == "spring_dashpot":
+                f.setdefault("spring_dashpot", []).append({
+                    "nodes": _resolve_nodes(disc, item["nodes"]),
+                    "stiffness": item.get("stiffness", ()),
+                    "viscosity": item.get("viscosity", ()),
+                })
             elif key == "electrode_kinetics":
                 f.setdefault("electrode_kinetics", []).append({
                     "faces": _resolve_faces(disc, item.pop("faces")),

@@ -99,6 +99,7 @@ class SolidField:
         body_forces=(),
         contact=(),
         meshtying=(),
+        springs=(),
         functions: FunctionManager | None = None,
     ):
         self.disc = disc
@@ -146,6 +147,21 @@ class SolidField:
         self._density = {
             key: float(getattr(m, "density", 0.0) or 0.0) for key, m in self.block_mat.items()
         }
+
+        # spring-dashpot supports (ref: structure_new model evaluator
+        # SpringDashpot, 4C_structure_new_model_evaluator_springdashpot.*):
+        # Robin-type boundary f = k u + c v, dashpot via backward-difference
+        # velocity (u - u_old)/dt
+        self.springs = []
+        for sp in springs:
+            nodes = jnp.asarray(np.asarray(sp["nodes"], np.int32))
+            k = np.zeros(self.ndpn)
+            c = np.zeros(self.ndpn)
+            for i, v in enumerate(list(sp.get("stiffness") or [])[: self.ndpn]):
+                k[i] = float(v)
+            for i, v in enumerate(list(sp.get("viscosity") or [])[: self.ndpn]):
+                c[i] = float(v)
+            self.springs.append((nodes, jnp.asarray(k), jnp.asarray(c)))
 
         self.contact = None
         if contact:
@@ -245,6 +261,14 @@ class SolidField:
             if hn is not None:
                 new_hist[key] = hn
         f = dm.scatter_add(per_block)
+        if self.springs:
+            un = u.reshape(-1, self.ndpn)
+            uo = None if u_old is None else u_old.reshape(-1, self.ndpn)
+            for nodes, k, c in self.springs:
+                fsp = k[None, :] * un[nodes]
+                if uo is not None and dt:
+                    fsp = fsp + c[None, :] * (un[nodes] - uo[nodes]) / dt
+                f = f.reshape(-1, self.ndpn).at[nodes].add(fsp).reshape(-1)
         if self.contact is not None:
             # contact enters the residual like an internal force: at
             # equilibrium fint = fext + F_contact (ref: contact forces in the
@@ -580,7 +604,7 @@ def _make_statics_step(f: SolidField, dt: float):
 
         def residual_with(u, con):
             fi, _ = f.internal_force(u, history=hist, dt=dt, cstate=con,
-                                     u_old=d_old if con_on else None)
+                                     u_old=d_old)
             return fi - f.external_force(t1, u)
 
         u0 = f.dbc.apply(state["d"], t1)  # predictor: constdis + DBC at t_{n+1}
@@ -623,7 +647,7 @@ def _make_statics_step(f: SolidField, dt: float):
 
         fint_new, hist_new = f.internal_force(
             u, history=hist, dt=dt, cstate=con_new,
-            u_old=d_old if con_on else None)
+            u_old=d_old)
         new_state = dict(state)
         new_state.update(
             d=u, t=t1, step=state["step"] + 1, fint=fint_new,
@@ -664,7 +688,7 @@ def _make_genalpha_step(f: SolidField, dt: float):
             v_new, a_new = _newmark_updates(f, dt, d_new, d_n, v_n, a_n, beta, gamma)
             a_mid = (1 - am) * a_new + am * a_n
             fi, _ = f.internal_force(d_new, history=hist, dt=dt, cstate=con,
-                                     u_old=d_n if con_on else None)
+                                     u_old=d_n)
             fint_mid = (1 - af) * fi + af * fint_n
             r = f.mass_matvec(a_mid) + fint_mid - (
                 (1 - af) * f.external_force(t1, d_new) + af * state["fext"]
@@ -698,7 +722,7 @@ def _make_genalpha_step(f: SolidField, dt: float):
             con_new = f.contact.update_state(x, con, xo)
         fint_new, hist_new = f.internal_force(u, history=hist, dt=dt,
                                               cstate=con_new,
-                                              u_old=d_n if con_on else None)
+                                              u_old=d_n)
         new_state = dict(state)
         new_state.update(
             d=u, v=v1, a=a1, t=t1, step=state["step"] + 1,

@@ -68,6 +68,7 @@ def build_field(deck, disc_name="structure"):
         body_forces=conds.get("body_force", ()),
         contact=conds.get("contact", ()),
         meshtying=conds.get("meshtying", ()),
+        springs=conds.get("spring_dashpot", ()),
         functions=deck.functions,
     )
     return f
