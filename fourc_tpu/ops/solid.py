@@ -68,6 +68,15 @@ def internal_force(Xe, ue, cell: CellType, material, kinem: str = "nonlinear",
     import os
 
     impl = os.environ.get("FOURC_SOLID_IMPL", impl)
+    # fused Pallas kernel: the speed-of-light path for the hot hex8 case
+    # (one launch; all Gauss-chain intermediates stay in VMEM)
+    if (impl in ("auto", "pallas") and kinem == "nonlinear" and d == 3
+            and cell.name == "hex8" and history is None and temps is None
+            and jax.default_backend() != "cpu"):
+        from fourc_tpu.ops import solid_pallas as spk
+
+        if spk.pallas_model_for(material) is not None:
+            return spk.internal_force(Xe, ue, material), None
     if (impl != "einsum" and d == 3 and nen * cell.ngp <= 128
             and jax.default_backend() != "cpu"):
         return _internal_force_unrolled(Xe, ue, cell, material, kinem=kinem,
