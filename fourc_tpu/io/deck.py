@@ -171,7 +171,7 @@ DECK_SPEC = {
                          "fsi", "ssi", "particle", "lubrication", "elch",
                          "poroelasticity", "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
-                         "porofluidmultiphase", "loma", "ssti", "ehl"),
+                         "porofluidmultiphase", "loma", "ssti", "ehl", "fs3i"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -207,6 +207,16 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "fs3i_dynamic": group(
+        {
+            "permeability": param(float, 0.0, doc="interface membrane P"),
+            "scatra_mat_fluid": param(int, 0, doc="material id for c_fluid"),
+            "scatra_mat_structure": param(int, 0, doc="material id for c_solid"),
+            "c0_fluid": param(float, 0.0, doc="initial fluid concentration"),
+            "tolres": param(float, 1e-9),
+        },
+        doc="FS3I DYNAMIC (FSI + two-domain scalar transport)",
     ),
     "ehl_dynamic": group(
         {

@@ -90,6 +90,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import lubrication_driver
 
         return lubrication_driver.run(deck, callbacks)
+    if ptype == "fs3i":
+        from fourc_tpu.physics import fs3i_driver
+
+        return fs3i_driver.run(deck, callbacks)
     if ptype == "ehl":
         from fourc_tpu.physics import ehl_driver
 
