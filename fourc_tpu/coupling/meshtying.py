@@ -46,12 +46,22 @@ class TiedDofs:
         return wrapped
 
 
-def match_pairs(coords, slave_nodes, master_nodes, tol=1e-9):
-    """Build (slave, master) node pairs by coordinate matching."""
+def match_pairs(coords, slave_nodes, master_nodes, tol=1e-9, offset=None):
+    """Build (slave, master) node pairs by coordinate matching.
+
+    offset: None (coincident interfaces) | "auto" | translation vector —
+    the slave side is shifted by -offset before matching (periodic BCs,
+    ref: the reference's periodic-boundary dofset
+    fem/src/dofset pbc wrappers + 4C_fem_condition periodic conditions).
+    """
     slave_nodes = np.asarray(slave_nodes)
     master_nodes = np.asarray(master_nodes)
     xs = np.asarray(coords)[slave_nodes]
     xm = np.asarray(coords)[master_nodes]
+    if offset is not None:
+        off = (xs.mean(axis=0) - xm.mean(axis=0)
+               if isinstance(offset, str) else np.asarray(offset, float))
+        xs = xs - off[None, :]
     scale = max(1.0, float(np.abs(xm).max()))
     ks = np.round(xs / (tol * scale)).astype(np.int64)
     km = np.round(xm / (tol * scale)).astype(np.int64)

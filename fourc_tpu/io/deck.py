@@ -578,6 +578,14 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                             "master_nodes": _resolve_nodes(disc, item["master"]),
                         }
                     )
+            elif key == "periodic":
+                # periodic BC = translated tied interface (slave follows
+                # master); rides the meshtying condensation machinery
+                f.setdefault("meshtying", []).append({
+                    "slave_nodes": _resolve_nodes(disc, item["slave"]),
+                    "master_nodes": _resolve_nodes(disc, item["master"]),
+                    "offset": item.get("offset", "auto"),
+                })
             elif key == "spring_dashpot":
                 f.setdefault("spring_dashpot", []).append({
                     "nodes": _resolve_nodes(disc, item["nodes"]),

@@ -212,7 +212,9 @@ class SolidField:
                 from fourc_tpu.coupling.meshtying import TiedDofs, match_pairs
 
                 pairs = np.concatenate(
-                    [match_pairs(disc.coords, mt["slave_nodes"], mt["master_nodes"])
+                    [match_pairs(disc.coords, mt["slave_nodes"],
+                                 mt["master_nodes"],
+                                 offset=mt.get("offset"))
                      for mt in meshtying], axis=0,
                 )
                 self.ties = TiedDofs(pairs, self.ndpn, disc.n_nodes)
