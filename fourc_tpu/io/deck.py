@@ -578,6 +578,13 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                             "master_nodes": _resolve_nodes(disc, item["master"]),
                         }
                     )
+            elif key == "constraint":
+                item2 = dict(item)
+                if "faces" in item2:
+                    item2["faces"] = _resolve_faces(disc, item2["faces"])
+                if "nodes" in item2:
+                    item2["nodes"] = _resolve_nodes(disc, item2["nodes"])
+                f.setdefault("constraint", []).append(item2)
             elif key == "periodic":
                 # periodic BC = translated tied interface (slave follows
                 # master); rides the meshtying condensation machinery

@@ -100,6 +100,7 @@ class SolidField:
         contact=(),
         meshtying=(),
         springs=(),
+        constraints=(),
         functions: FunctionManager | None = None,
     ):
         self.disc = disc
@@ -147,6 +148,9 @@ class SolidField:
         self._density = {
             key: float(getattr(m, "density", 0.0) or 0.0) for key, m in self.block_mat.items()
         }
+
+        # global constraints (volume / MPC; physics/constraints.py)
+        self.constraints = list(constraints)
 
         # spring-dashpot supports (ref: structure_new model evaluator
         # SpringDashpot, 4C_structure_new_model_evaluator_springdashpot.*):
@@ -294,8 +298,13 @@ class SolidField:
                 and self.ndpn == 3)
 
     def external_force(self, t, u=None):
-        """Global external force at time t (Neumann + point + body loads)."""
+        """Global external force at time t (Neumann + point + body loads,
+        minus global-constraint penalty forces)."""
         f = jnp.zeros((self.ndof,), dtype=self.coords.dtype)
+        if self.constraints:
+            uc = f if u is None else u
+            for con in self.constraints:
+                f = f - con.force(uc, t)
         d = self.ndpn
         for nb, fc, conn, Xf in self._neumann_data:
             if nb.kind == "pressure":

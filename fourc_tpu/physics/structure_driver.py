@@ -69,9 +69,32 @@ def build_field(deck, disc_name="structure"):
         contact=conds.get("contact", ()),
         meshtying=conds.get("meshtying", ()),
         springs=conds.get("spring_dashpot", ()),
+        constraints=_build_constraints(conds.get("constraint", ()), disc,
+                                       deck.functions),
         functions=deck.functions,
     )
     return f
+
+
+def _build_constraints(items, disc, functions):
+    out = []
+    for it in items:
+        from fourc_tpu.physics.constraints import (MultiPointConstraint,
+                                                   VolumeConstraint)
+
+        kind = str(it.get("kind", "volume")).lower()
+        if kind == "volume":
+            out.append(VolumeConstraint(
+                it["faces"], disc.coords, disc.dim,
+                it.get("penalty", 1e6), it.get("funct", 0), functions))
+        elif kind == "mpc":
+            out.append(MultiPointConstraint(
+                it["nodes"], it["comps"], it["coeffs"], disc.dim,
+                it.get("penalty", 1e6), it.get("amplitude", 0.0),
+                it.get("funct", 0), functions))
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+    return out
 
 
 def run(deck, callbacks=None) -> drv.RunResult:
