@@ -87,6 +87,16 @@ def _build_constraints(items, disc, functions):
             out.append(VolumeConstraint(
                 it["faces"], disc.coords, disc.dim,
                 it.get("penalty", 1e6), it.get("funct", 0), functions))
+        elif kind == "inclined_support":
+            # locsys analog (ref: core/fem condition locsys — rotated
+            # boundary frames): u . n = 0 per node, penalty-enforced
+            nrm = np.asarray(it["normal"], float)
+            nrm = nrm / np.linalg.norm(nrm)
+            for nd in np.asarray(it["nodes"]):
+                out.append(MultiPointConstraint(
+                    [int(nd)] * disc.dim, list(range(disc.dim)),
+                    nrm[: disc.dim], disc.dim,
+                    it.get("penalty", 1e8), 0.0, 0, functions))
         elif kind == "mpc":
             out.append(MultiPointConstraint(
                 it["nodes"], it["comps"], it["coeffs"], disc.dim,

@@ -71,3 +71,35 @@ conditions:
     d = np.asarray(res.states["structure"]["d"]).reshape(-1, 3)
     assert abs(d[4, 0] - d[8, 0]) < 1e-6
     assert d[8, 0] > 1e-4  # load actually stretches the bar
+
+
+def test_inclined_support_slides_along_plane():
+    """Block resting on a 45-degree frictionless plane (locsys analog):
+    a force along the plane moves it tangentially; u . n stays ~ 0."""
+    res = driver.run(dm.load("""
+problem: {type: structure}
+structural_dynamic: {dynamictype: statics, kinem: linear, numstep: 1,
+                     timestep: 1.0, maxiter: 15, tolres: 1e-9,
+                     toldisp: 1e-9, normcombi: or}
+solver: {method: direct}
+functions:
+  1: "t"
+materials:
+  1: {type: stvenantkirchhoff, youngs: 1000.0, nue: 0.0}
+geometry:
+  generator: {kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1}
+conditions:
+  dirichlet:
+    - {nodes: zmax, onoff: [1,1,0], val: [0.05, 0, 0], funct: [1, 0, 0]}
+  constraint:
+    - {kind: inclined_support, nodes: zmin, normal: [1, 0, 1],
+       penalty: 1e8}
+"""))
+    d = np.asarray(res.states["structure"]["d"]).reshape(-1, 3)
+    f = res.fields["structure"].f
+    zmin = f.disc.node_sets["zmin"]
+    n = np.array([1.0, 0.0, 1.0]) / np.sqrt(2.0)
+    un = d[zmin] @ n
+    ut = d[zmin] @ np.array([1.0, 0.0, -1.0]) / np.sqrt(2.0)
+    assert np.abs(un).max() < 1e-6  # no penetration of the plane
+    assert np.abs(ut).max() > 1e-4  # but it slides tangentially
