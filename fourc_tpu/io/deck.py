@@ -153,6 +153,9 @@ def _dyn_spec(default_dyntype, dyntypes):
                 str, "none", choices=("none", "smagorinsky",
                                       "dynamic_smagorinsky"),
                 doc="LES model (ref PHYSICAL_MODEL in TURBULENCE MODEL)"),
+            "prestress": param(str, "none", choices=("none", "mulf"),
+                               doc="prestressing technology (ref PRESTRESS)"),
+            "prestress_steps": param(int, 0),
             "bts_penalty": param(float, 1e4,
                                  doc="beam-to-solid tying penalty (ref "
                                      "BEAM TO SOLID VOLUME MESHTYING)"),

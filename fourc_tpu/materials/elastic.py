@@ -10,7 +10,7 @@ from dataclasses import dataclass
 
 import jax.numpy as jnp
 
-from fourc_tpu.materials.base import HyperelasticMaterial, Material, register_material
+from fourc_tpu.materials.base import HistoryMaterial, HyperelasticMaterial, Material, register_material
 from fourc_tpu.ops import common as gm
 
 _I3 = jnp.eye(3)
@@ -154,3 +154,48 @@ class ShellElastic(Material):
     @classmethod
     def from_deck(cls, params):
         return cls(**params)
+
+
+@register_material("mulf")
+class MulfPrestress(HistoryMaterial):
+    """MULF (multiplicative update) prestressing wrapper.
+
+    Counterpart of the reference's MULF prestress technology
+    (ref: src/solid_3D_ele prestress formulation 4C_solid_3D_ele_calc_mulf.*
+    — TECH/PRESTRESS mulf: a stored per-GP prestretch F0 makes the known
+    loaded geometry the reference; during the prestress phase F0 <- F F0
+    and displacements reset).
+
+    history per GP: F0 flattened (9), init = identity.  The wrapped
+    isotropic material is evaluated at C_tot = F0^T C F0 and its PK2 is
+    pushed to the current reference: S' = F0 S F0^T (the MULF pull-back).
+    """
+
+    kind = "solid_history"
+    history_shape = (9,)
+
+    def __init__(self, material, density=0.0):
+        from fourc_tpu.materials import make_material as _mk
+
+        self.base = _mk(dict(material))
+        self.density = float(density or getattr(self.base, "density", 0.0))
+        # expose base elastic constants (preconditioners read them)
+        for attr in ("youngs", "nue"):
+            if hasattr(self.base, attr):
+                setattr(self, attr, getattr(self.base, attr))
+
+    @classmethod
+    def from_deck(cls, params):
+        return cls(**params)
+
+    def init_history(self, ngp_total):
+        eye = jnp.eye(3).reshape(-1)
+        return jnp.tile(eye[None, :], (ngp_total, 1))
+
+    def evaluate(self, C, h):
+        F0 = h.reshape(3, 3)
+        Ctot = F0.T @ C @ F0
+        E = 0.5 * (Ctot - jnp.eye(3, dtype=C.dtype))
+        S = self.base.pk2_from_E(E[..., None])[..., 0]
+        Sp = F0 @ S @ F0.T
+        return Sp, h

@@ -494,6 +494,33 @@ class SolidField:
 # ---------------------------------------------------------------------------
 
 
+def update_prestress(f: SolidField, state):
+    """MULF prestress update after a converged prestress step
+    (ref: solid prestress MULF — F0 <- F F0 per GP, displacements reset).
+    Returns the reset state with the updated prestretch history."""
+    from fourc_tpu.ops import common as gm
+
+    d = state["d"]
+    hist = dict(state["hist"])
+    eye = jnp.eye(3)
+    for key in f.dofmap.blocks:
+        m = f.block_mat[key]
+        if getattr(m, "history_shape", ()) != (9,):
+            continue
+        cell = f._cell(key)
+        ue = f.dofmap.gather(d, key)  # (e, nen, 3)
+        G, _ = gm.iso_gradients(f.block_X[key], cell.dN)  # (e,g,a,3)
+        H = jnp.einsum("egad,eai->egid", G, ue)
+        F = H + eye[None, None]
+        e, g = F.shape[:2]
+        F0 = hist[key].reshape(e, g, 3, 3)
+        hist[key] = jnp.einsum("egik,egkj->egij", F, F0).reshape(e, g, 9)
+    z = jnp.zeros_like(d)
+    new = dict(state)
+    new.update(d=z, v=z, a=z, fint=z, hist=hist)
+    return new
+
+
 def init_state(f: SolidField):
     import jax as _jax
 

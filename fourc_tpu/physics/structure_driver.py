@@ -163,6 +163,16 @@ def run(deck, callbacks=None) -> drv.RunResult:
             nodes=mcfg.get("nodes", ()),
             quantities=mcfg.get("quantities", ("dispx",)),
         ))
+    # MULF prestress phase: run N steps, folding each converged deformation
+    # into the per-GP prestretch and resetting displacements
+    if dyn.get("prestress") == "mulf" and dyn.get("prestress_steps"):
+        for _ in range(int(dyn["prestress_steps"])):
+            state, _ = drv.time_loop(
+                "prestress", state, mkstep, dyn["timestep"], 1,
+                divercont=dyn["divercont"], callbacks=[], timers=timers,
+                verbose=False)
+            state = ps.update_prestress(f, state)
+
     state, n_steps, out_cbs = drv.setup_restart(deck, "structure", state, n_steps, out_cbs)
 
     state, agg = drv.time_loop(
