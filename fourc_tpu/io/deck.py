@@ -341,7 +341,7 @@ DECK_SPEC = {
             "method": param(str, "cg", choices=("cg", "gmres", "bicgstab", "direct")),
             "precond": param(
                 str, "block_jacobi",
-                choices=("none", "jacobi", "block_jacobi", "chebyshev", "gmg"),
+                choices=("none", "jacobi", "block_jacobi", "chebyshev", "gmg", "amg"),
             ),
             "maxiter": param(int, 500),
             "rtol": param(float, 1e-4),

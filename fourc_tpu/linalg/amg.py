@@ -1,0 +1,167 @@
+"""Smoothed-aggregation algebraic multigrid (unstructured meshes).
+
+Counterpart of the reference's MueLu AMG preconditioner for meshes where
+the geometric hierarchy (linalg/gmg.py) does not apply
+(ref: src/core/linear_solver/src/preconditioner/4C_linear_solver_preconditioner_muelu.cpp
+— CreateXpetraPreconditioner with rigid-body-mode nullspace; smoothed
+aggregation is MueLu's default coarsening).
+
+Setup happens ONCE on the host (scipy.sparse): strength-graph greedy
+aggregation of NODES (all dofs of a node share its aggregate — the
+block/nodal aggregation MueLu uses for elasticity), tentative prolongator
+from the translational nullspace, one Jacobi smoothing pass
+P = (I - omega D^-1 A) P0, Galerkin coarse operators A_c = P^T A P.
+The V-cycle then runs fully on device: every level's SpMV and transfer is
+a COO segment-sum (deterministic), smoothers are Chebyshev on the Jacobi-
+scaled operator, the coarsest level is a dense factor.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class _COO:
+    def __init__(self, sp_mat, dtype=jnp.float32):
+        coo = sp_mat.tocoo()
+        self.rows = jnp.asarray(coo.row.astype(np.int32))
+        self.cols = jnp.asarray(coo.col.astype(np.int32))
+        self.vals = jnp.asarray(coo.data.astype(np.float32))
+        self.shape = sp_mat.shape
+
+    def mv(self, x):
+        return jax.ops.segment_sum(self.vals * x[self.cols], self.rows,
+                                   num_segments=self.shape[0])
+
+    def mv_t(self, x):
+        return jax.ops.segment_sum(self.vals * x[self.rows], self.cols,
+                                   num_segments=self.shape[1])
+
+
+def _aggregate(A_node, theta=0.08):
+    """Greedy strength-based aggregation of the node graph (scipy csr).
+    Returns agg id per node."""
+    n = A_node.shape[0]
+    d = np.asarray(A_node.diagonal())
+    A = A_node.tocsr()
+    agg = -np.ones(n, np.int64)
+    next_agg = 0
+    # first pass: seed aggregates from unaggregated nodes + strong neighbors
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = A.indices[A.indptr[i]:A.indptr[i + 1]]
+        vals = A.data[A.indptr[i]:A.indptr[i + 1]]
+        strong = [j for j, v in zip(nbrs, vals)
+                  if j != i and abs(v) > theta * np.sqrt(abs(d[i] * d[j]) + 1e-300)]
+        if all(agg[j] < 0 for j in strong):
+            agg[i] = next_agg
+            for j in strong:
+                agg[j] = next_agg
+            next_agg += 1
+    # second pass: attach leftovers to a strong aggregated neighbor
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = A.indices[A.indptr[i]:A.indptr[i + 1]]
+        vals = A.data[A.indptr[i]:A.indptr[i + 1]]
+        best, bv = -1, 0.0
+        for j, v in zip(nbrs, vals):
+            if j != i and agg[j] >= 0 and abs(v) > bv:
+                best, bv = agg[j], abs(v)
+        if best >= 0:
+            agg[i] = best
+        else:
+            agg[i] = next_agg
+            next_agg += 1
+    return agg, next_agg
+
+
+class SmoothedAggregationAMG:
+    """V-cycle preconditioner from an assembled SparseMatrix."""
+
+    def __init__(self, A_sparse, ndpn, free_mask, omega=0.6, coarsest=400,
+                 max_levels=10, cheby_degree=3, n_smooth=1):
+        import scipy.sparse as sp
+
+        p = A_sparse.pattern
+        n = p.n_rows
+        A0 = sp.coo_matrix(
+            (np.asarray(A_sparse.vals, np.float64),
+             (np.asarray(p.rows), np.asarray(p.cols))), shape=(n, n)).tocsr()
+        free = np.asarray(free_mask)
+        # constrained dofs already carry unit diagonal via apply_dirichlet
+        self.ndpn = ndpn
+        self.levels = []  # dicts: A (_COO), dinv, lmax, P (_COO) or None
+        A = A0
+        while True:
+            d = np.asarray(A.diagonal())
+            dinv = np.where(np.abs(d) > 1e-300, 1.0 / d, 1.0)
+            absA = abs(A)
+            lmax = float((np.abs(dinv) * np.asarray(
+                absA.sum(axis=1)).ravel()).max())
+            lev = {"A": _COO(A), "dinv": jnp.asarray(dinv.astype(np.float32)),
+                   "lmax": 1.02 * lmax, "P": None}
+            self.levels.append(lev)
+            nn = A.shape[0] // ndpn
+            if nn <= coarsest // ndpn or len(self.levels) >= max_levels:
+                break
+            # node-level strength graph: sum |A_ij| over the dof block
+            Ab = abs(A).tocsr()
+            rows = np.repeat(np.arange(A.shape[0]) // ndpn, np.diff(Ab.indptr))
+            cols = Ab.indices // ndpn
+            G = sp.coo_matrix((Ab.data, (rows, cols)), shape=(nn, nn)).tocsr()
+            agg, n_agg = _aggregate(G)
+            if n_agg >= nn:  # no coarsening progress
+                break
+            # tentative prolongator: per-dof-component injection
+            ridx = np.arange(A.shape[0])
+            cidx = agg[ridx // ndpn] * ndpn + (ridx % ndpn)
+            P0 = sp.coo_matrix((np.ones(A.shape[0]), (ridx, cidx)),
+                               shape=(A.shape[0], n_agg * ndpn)).tocsr()
+            # smoothing: P = (I - omega D^-1 A) P0
+            Dinv = sp.diags(dinv)
+            P = (P0 - omega * (Dinv @ (A @ P0))).tocsr()
+            lev["P"] = _COO(P)
+            A = (P.T @ A @ P).tocsr()
+        # coarsest dense factor
+        self._coarse_inv = jnp.asarray(
+            np.linalg.inv(A.toarray()).astype(np.float32))
+        self.cheby_degree = cheby_degree
+        self.n_smooth = n_smooth
+
+    def _smooth(self, lev, b, x):
+        """Chebyshev(degree) on the Jacobi-scaled operator."""
+        lmax, dinv, A = lev["lmax"], lev["dinv"], lev["A"]
+        lmin = lmax / 30.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho_old = 1.0 / sigma
+        r = dinv * (b - A.mv(x))
+        d = r / theta
+        x = x + d
+        for _ in range(self.cheby_degree - 1):
+            rho = 1.0 / (2.0 * sigma - rho_old)
+            r = r - dinv * A.mv(d)
+            d = rho * rho_old * d + (2.0 * rho / delta) * r
+            x = x + d
+            rho_old = rho
+        return x
+
+    def _vcycle(self, k, r):
+        lev = self.levels[k]
+        if lev["P"] is None:
+            return self._coarse_inv @ r
+        x = self._smooth(lev, r, jnp.zeros_like(r))
+        res = r - lev["A"].mv(x)
+        rc = lev["P"].mv_t(res)
+        xc = self._vcycle(k + 1, rc)
+        x = x + lev["P"].mv(xc)
+        res = r - lev["A"].mv(x)
+        return x + self._smooth(lev, res, jnp.zeros_like(res))
+
+    def __call__(self, r):
+        return self._vcycle(0, r.astype(jnp.float32)).astype(r.dtype)

@@ -400,6 +400,45 @@ class SolidField:
 
     # -- preconditioner -----------------------------------------------------
 
+    def _build_amg(self, mass_shift=0.0):
+        """Smoothed-aggregation AMG on the assembled LINEAR-elastic
+        rediscretization (state-independent, reusable across Newton/time
+        steps — the same reuse strategy as the structured GMG; ref: MueLu
+        preconditioner reuse)."""
+        key_ = (round(float(mass_shift), 10),)
+        cache = getattr(self, "_amg_cache", {})
+        if key_ not in cache:
+            from fourc_tpu.linalg import sparse as sps
+            from fourc_tpu.linalg.amg import SmoothedAggregationAMG
+            from fourc_tpu.materials.small_strain import LinearElastic
+
+            pattern = sps.build_pattern(self.dofmap)
+            mats = {}
+            for key in self.dofmap.blocks:
+                m = self.block_mat[key]
+                lin = LinearElastic(youngs=float(m.youngs),
+                                    nue=float(m.nue))
+                cell = self._cell(key)
+                ue0 = jnp.zeros_like(self.block_X[key])
+                Ke = ops.element_stiffness(self.block_X[key], ue0, cell, lin,
+                                           kinem="linear")
+                if mass_shift:
+                    ml = ops.lumped_mass(self.block_X[key], cell,
+                                         self._density[key])
+                    nend = Ke.shape[1]
+                    mdiag = jnp.repeat(ml, self.ndpn, axis=1).reshape(
+                        Ke.shape[0], nend)
+                    Ke = Ke + mass_shift * jax.vmap(jnp.diag)(mdiag)
+                mats[key] = Ke
+            vals = sps.assemble_values(pattern, mats)
+            A = sps.apply_dirichlet(
+                sps.SparseMatrix(pattern=pattern, vals=vals),
+                self.dbc.free_mask)
+            cache[key_] = SmoothedAggregationAMG(A, self.ndpn,
+                                                 self.dbc.free_mask)
+            self._amg_cache = cache
+        return cache[key_]
+
     def build_preconditioner(self, u, history=None, dt=None, mass_shift=0.0):
         """Block-Jacobi (k x k nodal blocks) from the element tangents at u.
 
@@ -408,6 +447,8 @@ class SolidField:
         kind = self.params.precond
         if kind == "none":
             return lambda r: r
+        if kind == "amg":
+            return self._build_amg(mass_shift)
         d = self.ndpn
         nn = self.disc.n_nodes
         blocks = jnp.zeros((nn, d, d), dtype=self.coords.dtype)
@@ -606,8 +647,10 @@ def make_step(f: SolidField, dt: float | None = None):
 
 
 def _static_precond(f: SolidField, mass_shift: float = 0.0):
-    """State-independent preconditioner built once per step function (GMG);
-    returns None when the per-state block-Jacobi should be used instead."""
+    """State-independent preconditioner built once per step function (GMG /
+    AMG); returns None when the per-state block-Jacobi is used instead."""
+    if f.params.precond == "amg":
+        return f._build_amg(mass_shift)
     if f.params.precond != "gmg":
         return None
     from fourc_tpu.linalg import gmg
