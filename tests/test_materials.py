@@ -196,3 +196,38 @@ def test_finite_strain_log_plasticity():
     # elastic initial slope ~ E (log-strain space)
     e0 = np.log(lam_hist[0])
     assert abs(s_hist[0] / e0 - 1000.0) / 1000.0 < 0.1
+
+
+def test_viscoelasthyper_relaxation():
+    """Held uniaxial stretch: stress relaxes from (1+beta) S_eq to S_eq
+    with the prescribed time constant (ref: 4C_mat_viscoelasthyper.*)."""
+    import jax.numpy as jnp
+
+    from fourc_tpu.materials import make_material
+
+    tau, beta = 2.0, 0.5
+    m = make_material({"type": "viscoelasthyper",
+                       "material": {"type": "neohooke", "youngs": 100.0,
+                                    "nue": 0.3},
+                       "taus": [tau], "betas": [beta]})
+    lam = 1.05
+    C = jnp.diag(jnp.asarray([lam**2, 1.0, 1.0]))
+    h = jnp.zeros((12,))
+    dt = 0.05
+    # step 1: sudden stretch -> overstress (1 + beta e^{-dt/2tau}) S_eq
+    S, h = m.evaluate(C, h, dt=dt)
+    base = make_material({"type": "neohooke", "youngs": 100.0, "nue": 0.3})
+    Seq = base.pk2_from_E((0.5 * (C - jnp.eye(3)))[..., None])[..., 0]
+    s0 = float(S[0, 0])
+    assert s0 > 1.4 * float(Seq[0, 0])
+    # hold: decay toward S_eq with tau
+    s_hist = []
+    for _ in range(200):
+        S, h = m.evaluate(C, h, dt=dt)
+        s_hist.append(float(S[0, 0]))
+    assert abs(s_hist[-1] - float(Seq[0, 0])) < 5e-3 * float(Seq[0, 0])
+    # decay constant: ratio after one tau ~ e^-1 of the overstress
+    over0 = s0 - float(Seq[0, 0])
+    k_tau = int(tau / dt)
+    over_tau = s_hist[k_tau - 1] - float(Seq[0, 0])
+    assert abs(over_tau / over0 - np.exp(-1.0)) < 0.05
