@@ -25,9 +25,11 @@ class AleField:
     interface nodes; interface_nodes: ids receiving prescribed values.
     """
 
-    def __init__(self, disc: Discretization, interface_nodes, boundary_nodes):
+    def __init__(self, disc: Discretization, interface_nodes, boundary_nodes,
+                 method: str = "laplace"):
         self.disc = disc
         self.dim = disc.dim
+        self.method = method  # laplace | elastic (ref ALE_TYPE)
         self.dofmap = disc.dofmap(1)
         self.coords = jnp.asarray(disc.coords)
         n = disc.n_nodes
@@ -72,12 +74,59 @@ class AleField:
             per_block[key] = jnp.einsum("gE,gadE,gdE->Ea", wdet, G, gphi)
         return dm.scatter_add(per_block)
 
+    def _elastic_force(self, u_nodes):
+        """Pseudo-elasticity mesh stiffness with JACOBIAN STIFFENING: every
+        element's linear-elastic contribution is scaled by (V_mean/V_e), so
+        small elements resist distortion hardest (ref: the reference's
+        pseudo-elastic ALE with element-size stiffening, src/ale
+        springs_material/elastic variants)."""
+        from fourc_tpu.core.cells import get_cell
+        from fourc_tpu.materials.small_strain import LinearElastic
+        from fourc_tpu.ops import solid as sops
+
+        if not hasattr(self, "_ale_mat"):
+            self._ale_mat = LinearElastic(youngs=1.0, nue=0.0)
+            self._stiffen = {}
+            for key, ba in self.dofmap.blocks.items():
+                cell = get_cell(ba.cell)
+                _, detJ = gm.iso_gradients(self.block_X[key], cell.dN)
+                w = jnp.asarray(cell.gauss_weights, detJ.dtype)
+                V = jnp.einsum("eg,g->e", detJ, w)
+                self._stiffen[key] = jnp.mean(V) / V
+        dm = self.dofmap
+        out = jnp.zeros((self.disc.n_nodes, self.dim), u_nodes.dtype)
+        for key, ba in dm.blocks.items():
+            cell = get_cell(ba.cell)
+            ue = u_nodes[ba.conn]
+            fe, _ = sops.internal_force(self.block_X[key], ue, cell,
+                                        self._ale_mat, kinem="linear",
+                                        impl="einsum")
+            fe = fe * self._stiffen[key][:, None, None]
+            out = out.at[ba.conn.reshape(-1)].add(fe.reshape(-1, self.dim))
+        return out
+
     def solve(self, interface_disp, tol=1e-8, maxiter=400):
         """interface_disp: (n_interface, dim) -> mesh displacement (n, dim)."""
         from fourc_tpu.linalg import solvers as ls
         from fourc_tpu.linalg.precond import jacobi
 
         n = self.disc.n_nodes
+        if self.method == "elastic":
+            bc = jnp.zeros((n, self.dim), interface_disp.dtype).at[
+                self.interface].set(interface_disp)
+            freev = jnp.repeat(self.free, self.dim)
+
+            def A(v):
+                vm = jnp.where(freev, v, 0.0)
+                f = self._elastic_force(vm.reshape(n, self.dim)).reshape(-1)
+                return jnp.where(freev, f, v)
+
+            rhs = jnp.where(
+                freev, -self._elastic_force(bc).reshape(-1), 0.0)
+            Mv = jacobi(jnp.repeat(1.0 / self._dinv, self.dim))
+            res = ls.cg(A, rhs, M=Mv, tol=tol, maxiter=maxiter)
+            u = jnp.where(freev, res.x, bc.reshape(-1))
+            return u.reshape(n, self.dim)
         out = []
         M = jacobi(1.0 / self._dinv)
         for c in range(self.dim):
