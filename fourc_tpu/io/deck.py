@@ -581,6 +581,8 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                             "master_nodes": _resolve_nodes(disc, item["master"]),
                         }
                     )
+            elif key == "beam_contact":
+                f.setdefault("beam_contact", []).append(dict(item))
             elif key == "constraint":
                 item2 = dict(item)
                 if "faces" in item2:

@@ -26,7 +26,8 @@ class BeamField:
     """6 dofs/node: [u, theta]; materials must be beam sections."""
 
     def __init__(self, disc: Discretization, materials: dict, params: SolidParams,
-                 dirichlet=(), point_neumann=(), functions=None):
+                 dirichlet=(), point_neumann=(), beam_contact=None,
+                 functions=None):
         self.disc = disc
         self.params = params
         self.functions = functions or FunctionManager()
@@ -36,6 +37,17 @@ class BeamField:
         self.dbc = DirichletHandler(list(dirichlet), disc.coords, 6, self.functions)
         self.point_neumann = list(point_neumann)
         self.coords = jnp.asarray(disc.coords)
+
+        self.contact = None
+        if beam_contact:
+            from fourc_tpu.contact.beam_contact import BeamContact
+
+            bc = dict(beam_contact)
+            conn = np.concatenate([np.asarray(b.conn)
+                                   for b in disc.blocks.values()], axis=0)
+            self.contact = BeamContact(disc.coords, conn,
+                                       radius=float(bc["radius"]),
+                                       penalty=float(bc.get("penalty", 1e3)))
 
         self.block_K = {}
         self.block_M = {}
@@ -65,7 +77,13 @@ class BeamField:
                 continue
             ue = dm.gather(u, key).reshape(-1, 12)
             per_block[key] = ops.internal_force(self.block_K[key], ue)
-        return dm.scatter_add(per_block), None
+        f = dm.scatter_add(per_block)
+        if self.contact is not None:
+            x = self.coords + u.reshape(-1, 6)[:, :3]
+            fc6 = jnp.zeros((self.disc.n_nodes, 6), u.dtype)
+            fc6 = fc6.at[:, :3].set(self.contact.force(x))
+            f = f - fc6.reshape(-1)
+        return f, None
 
     def external_force(self, t, u=None):
         f = jnp.zeros((self.ndof,), self.coords.dtype)

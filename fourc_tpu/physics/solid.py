@@ -899,6 +899,12 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
             lin_tot += int(its)
             dnorm = float(dn)
             r, rnorm = residual_norm(u, aux)
+            import os as _os
+
+            if _os.environ.get("FOURC_DEBUG_NEWTON"):
+                print(f"  [host-newton] it {k + 1}: |r| {rnorm_f:.4e} -> "
+                      f"{float(rnorm):.4e}  |du| {dnorm:.3e}  cg {int(its)}",
+                      flush=True)
             rprev = rnorm_f
             rnorm_f = float(rnorm)
             k += 1

@@ -43,10 +43,12 @@ def build_field(deck, disc_name="structure"):
     if all(b.cell == "line2" for b in disc.blocks.values()):
         from fourc_tpu.physics.beam import BeamField
 
+        bc = conds.get("beam_contact")
         return BeamField(
             disc, materials, params,
             dirichlet=conds.get("dirichlet", ()),
             point_neumann=conds.get("point_neumann", ()),
+            beam_contact=bc[0] if bc else None,
             functions=deck.functions,
         )
     if any(getattr(m, "kind", "") == "shell" for m in materials.values()):
