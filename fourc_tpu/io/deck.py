@@ -174,7 +174,7 @@ DECK_SPEC = {
                          "fsi", "ssi", "particle", "lubrication", "elch",
                          "poroelasticity", "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
-                         "porofluidmultiphase", "loma", "ssti", "ehl", "fs3i"),
+                         "porofluidmultiphase", "loma", "ssti", "ehl", "fs3i", "fpsi"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -210,6 +210,13 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "fpsi_dynamic": group(
+        {
+            "pressure_penalty": param(float, 1e4,
+                                      doc="interface pore-pressure tie"),
+        },
+        doc="FPSI DYNAMIC (fluid-poro-structure interaction)",
     ),
     "fs3i_dynamic": group(
         {

@@ -90,6 +90,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import lubrication_driver
 
         return lubrication_driver.run(deck, callbacks)
+    if ptype == "fpsi":
+        from fourc_tpu.physics import fpsi_driver
+
+        return fpsi_driver.run(deck, callbacks)
     if ptype == "fs3i":
         from fourc_tpu.physics import fs3i_driver
 

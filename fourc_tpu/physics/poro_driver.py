@@ -110,7 +110,8 @@ class PoroField:
 
 
 def build_field(deck) -> PoroField:
-    solid = structure_driver.build_field(deck, next(iter(deck.disc)))
+    sname = "structure" if "structure" in deck.disc else next(iter(deck.disc))
+    solid = structure_driver.build_field(deck, sname)
     pres = scalar_driver.build_field(deck, "poro_pressure_dynamic", "pressure")
     cfg = deck.sections["poroelasticity_dynamic"]
     params = TsiParams(

@@ -19,8 +19,11 @@ def build_field(deck, section: str, disc_name: str) -> st.ScalarField:
     # reference's field-cloning map, global_data_read.cpp read_cloning_map).
     # Conditions stay keyed by the FIELD name.
     cond_name = disc_name
-    if disc_name not in deck.disc and len(deck.disc) == 1:
-        disc_name = next(iter(deck.disc))
+    if disc_name not in deck.disc:
+        if len(deck.disc) == 1:
+            disc_name = next(iter(deck.disc))
+        elif "structure" in deck.disc:
+            disc_name = "structure"  # cloned from the structure mesh (FPSI)
     disc = deck.disc[disc_name]
     dyn = deck.sections[section]
     solver = deck.sections["solver"]

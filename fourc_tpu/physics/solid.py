@@ -853,7 +853,16 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
 
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u, dt=dt, mass_shift=(1 - am) / (beta * dt * dt))
-        res = ls.cg(A, -r, M=M, tol=eta, atol=0.0, maxiter=nw.lin_maxiter)
+        if M_gmg is not None:
+            # the Chebyshev-smoothed V-cycle is NOT symmetric in the
+            # Euclidean inner product (only in the D-inner product), so CG
+            # with it is fragile — right-preconditioned GMRES is robust to
+            # a nonsymmetric preconditioner and keeps true-residual norms
+            res = ls.gmres(A, -r, M=M, tol=eta, atol=0.0, restart=40,
+                           maxiter=nw.lin_maxiter)
+        else:
+            res = ls.cg(A, -r, M=M, tol=eta, atol=0.0,
+                        maxiter=nw.lin_maxiter)
         du = jnp.where(mask, res.x, 0.0)
         return u + du, jnp.linalg.norm(du), res.iters
 
