@@ -131,3 +131,48 @@ conditions:
     driver.run(deck)
     out = capfd.readouterr().out + capfd.readouterr().err
     assert "newton it 1" in out
+
+
+def test_post_processor_app(tmp_path):
+    """Offline post app: checkpoints -> VTU series + monitor CSV
+    (the reference's apps/post_processor + post_monitor analog)."""
+    ck = str(tmp_path / "ck")
+    deck_path = tmp_path / "deck.yaml"
+    deck_path.write_text(f"""
+problem: {{type: structure}}
+structural_dynamic: {{dynamictype: statics, kinem: linear, numstep: 3,
+                     timestep: 0.5, tolres: 1e-9, toldisp: 1e-9,
+                     normcombi: or}}
+io: {{output_dir: "{ck}", restart_interval: 1}}
+solver: {{method: cg, precond: block_jacobi}}
+functions:
+  1: "t"
+materials:
+  1: {{type: stvenantkirchhoff, youngs: 1000.0, nue: 0.3}}
+geometry:
+  generator: {{kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1}}
+conditions:
+  dirichlet:
+    - {{nodes: xmin, onoff: [1,1,1], val: [0,0,0]}}
+    - {{nodes: xmax, onoff: [1,0,0], val: [0.1], funct: [1]}}
+""")
+    driver.run(dm.load(str(deck_path)))
+
+    from fourc_tpu.app.post import main as post_main
+
+    out = str(tmp_path / "viz")
+    rc = post_main([str(deck_path), "--checkpoints", ck, "--format", "vtu",
+                    "--out", out, "--monitor", "26:dispx"])
+    assert rc == 0
+    files = os.listdir(out)
+    assert any(f.endswith(".vtu") for f in files)
+    assert "structure.pvd" in files
+    assert "monitor.csv" in files
+    rows = open(os.path.join(out, "monitor.csv")).read().splitlines()
+    assert len(rows) >= 3
+    # ensight path
+    out2 = str(tmp_path / "ens")
+    rc = post_main([str(deck_path), "--checkpoints", ck,
+                    "--format", "ensight", "--out", out2])
+    assert rc == 0
+    assert "structure.case" in os.listdir(out2)
