@@ -174,7 +174,8 @@ DECK_SPEC = {
                          "fsi", "ssi", "particle", "lubrication", "elch",
                          "poroelasticity", "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
-                         "porofluidmultiphase", "loma", "ssti", "ehl", "fs3i", "fpsi"),
+                         "porofluidmultiphase", "loma", "ssti", "ehl", "fs3i", "fpsi",
+                         "fbi"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -210,6 +211,14 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "fbi_dynamic": group(
+        {
+            "timestep": param(float, 0.1),
+            "numstep": param(int, 1),
+            "drag": param(float, 1.0, doc="drag coefficient per unit length"),
+        },
+        doc="FBI DYNAMIC (immersed fluid-beam interaction)",
     ),
     "fpsi_dynamic": group(
         {
