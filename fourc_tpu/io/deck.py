@@ -175,7 +175,7 @@ DECK_SPEC = {
                          "poroelasticity", "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
                          "porofluidmultiphase", "loma", "ssti", "ehl", "fs3i", "fpsi",
-                         "fbi"),
+                         "fbi", "levelset"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -211,6 +211,13 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "levelset_dynamic": group(
+        {
+            "reinit_every": param(int, 5),
+            "reinit_sweeps": param(int, 10),
+        },
+        doc="LEVELSET DYNAMIC (transport + reinitialization)",
     ),
     "fbi_dynamic": group(
         {

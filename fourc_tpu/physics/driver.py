@@ -90,6 +90,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import lubrication_driver
 
         return lubrication_driver.run(deck, callbacks)
+    if ptype == "levelset":
+        from fourc_tpu.physics import levelset_driver
+
+        return levelset_driver.run(deck, callbacks)
     if ptype == "fbi":
         from fourc_tpu.physics import fbi_driver
 

@@ -864,7 +864,8 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
             res = ls.cg(A, -r, M=M, tol=eta, atol=0.0,
                         maxiter=nw.lin_maxiter)
         du = jnp.where(mask, res.x, 0.0)
-        return u + du, jnp.linalg.norm(du), res.iters
+        linres = jnp.linalg.norm(A(du) + r)  # ||A du - b||, b = -r
+        return u + du, jnp.linalg.norm(du), res.iters, linres
 
     def finalize(u, state, t1):
         d_n, v_n, a_n = state["d"], state["v"], state["a"]
@@ -904,7 +905,7 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
                 break
             eta = (min(max((rnorm_f / max(rnorm0, 1e-300)) ** 0.5, nw.lin_rtol), 1e-1)
                    if nw.lin_adaptive else nw.lin_rtol)
-            u, dn, its = lin_solve(u, r, aux, eta)
+            u, dn, its, linres = lin_solve(u, r, aux, eta)
             lin_tot += int(its)
             dnorm = float(dn)
             r, rnorm = residual_norm(u, aux)
@@ -912,8 +913,8 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
 
             if _os.environ.get("FOURC_DEBUG_NEWTON"):
                 print(f"  [host-newton] it {k + 1}: |r| {rnorm_f:.4e} -> "
-                      f"{float(rnorm):.4e}  |du| {dnorm:.3e}  cg {int(its)}",
-                      flush=True)
+                      f"{float(rnorm):.4e}  |du| {dnorm:.3e}  cg {int(its)}"
+                      f"  |A du - b| {float(linres):.3e}", flush=True)
             rprev = rnorm_f
             rnorm_f = float(rnorm)
             k += 1
