@@ -6,7 +6,7 @@ target < 150 ms / implicit step.  Prints ONE JSON line:
 
 vs_baseline = target_ms / measured_ms  (>1 means faster than target).
 
-Env overrides: BENCH_N (elements per edge, default 69 -> 1.03M dofs),
+Env overrides: BENCH_N (elements per edge, default 72 -> 1.17M dofs),
 BENCH_STEPS, BENCH_PRECOND.
 """
 
@@ -24,10 +24,9 @@ def main():
     from fourc_tpu.materials import make_material
     from fourc_tpu.physics import solid as ps
 
-    # n=56: 555k dofs — the largest size that survives the current axon
-    # TPU worker (>=600k dofs crashes the worker during the linear solve;
-    # round-2 item). Even n -> full geometric-multigrid hierarchy.
-    n = int(os.environ.get("BENCH_N", "56"))
+    # n=72 -> 1.17M dofs (above the 1M-DOF north star).  Even n -> full
+    # geometric-multigrid hierarchy.
+    n = int(os.environ.get("BENCH_N", "72"))
     n_steps = int(os.environ.get("BENCH_STEPS", "3"))
     precond = os.environ.get("BENCH_PRECOND", "gmg")
     host_newton = os.environ.get("BENCH_HOST_NEWTON", "1") == "1"

@@ -259,10 +259,16 @@ class _Level:
         ve = self._gather(vm)  # (E, nen, ndpn)
         E = ve.shape[0]
         vt = jnp.transpose(ve.reshape(E, -1))  # (m, E)
+        # full f32 precision is REQUIRED here: TPU's default matmul
+        # precision would route this through the bf16 MXU, whose rounding
+        # makes the V-cycle non-additive at ~1e-3 relative — which breaks
+        # right-preconditioned Krylov methods (GMRES reconstructs
+        # x = M(sum y_j V_j) assuming M is linear; CG assumes a fixed SPD M)
+        hp = jax.lax.Precision.HIGHEST
         if self.uniform:
-            fe = self.Ke @ vt  # (m, m) x (m, E): one small-matmul, E in lanes
+            fe = jnp.matmul(self.Ke, vt, precision=hp)  # (m,m)x(m,E)
         else:
-            fe = jnp.einsum("ijE,jE->iE", self.Ke, vt)  # E in the lanes
+            fe = jnp.einsum("ijE,jE->iE", self.Ke, vt, precision=hp)
         out = self._scatter(jnp.transpose(fe))
         if self.mlump is not None:
             out = out + self.mass_coeff * self.mlump * vm

@@ -34,6 +34,12 @@ def _identity(v):
     return v
 
 
+def _dot(a, b):
+    # full-precision dot: TPU's default matmul precision routes 1D dots
+    # through the bf16 MXU; Krylov recurrences need true f32 inner products
+    return jnp.vdot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def cg(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
     """Preconditioned conjugate gradients.
 
@@ -45,7 +51,7 @@ def cg(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
 
     r0 = b - A(x0)
     z0 = M(r0)
-    rz0 = jnp.vdot(r0, z0)
+    rz0 = _dot(r0, z0)
     bnorm = jnp.linalg.norm(b)
     stop = jnp.maximum(tol * bnorm, atol)
 
@@ -56,12 +62,12 @@ def cg(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
     def body(state):
         x, r, z, p, rz, k = state
         Ap = A(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = _dot(p, Ap)
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = _dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
@@ -103,11 +109,22 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
             def step(carry):
                 V, H, cs, sn, g, done, jdone = carry
                 w = A(M(V[j]))
-                # modified Gram-Schmidt (static loop over full basis, masked)
-                hcol = V @ w  # (m+1,) — includes zero rows; mask below
+                # Gram-Schmidt (static loop over full basis, masked).  The
+                # basis contractions MUST run at full f32: on TPU the default
+                # matmul precision routes V @ w through the bf16 MXU, whose
+                # ~1e-3 relative error destroys the Arnoldi relation at ~1M
+                # dofs — the Givens residual estimate then silently diverges
+                # from the true residual (observed: claimed 0.05, true 1.3).
+                # A second full pass guards against classical f32
+                # orthogonality loss on top of that.
+                hp = jax.lax.Precision.HIGHEST
+                hcol = jnp.matmul(V, w, precision=hp)  # (m+1,); mask below
                 mask = (jnp.arange(m + 1) <= j).astype(dtype)
                 hcol = hcol * mask
-                w = w - hcol @ V
+                w = w - jnp.matmul(hcol, V, precision=hp)
+                corr = jnp.matmul(V, w, precision=hp) * mask
+                w = w - jnp.matmul(corr, V, precision=hp)
+                hcol = hcol + corr
                 hj1 = jnp.linalg.norm(w)
                 V = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-300))
                 hcol = hcol.at[j + 1].set(hj1)
@@ -143,7 +160,8 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
         Hm = H[:m, :m] + jnp.diag(jnp.where(idx >= jdone, 1.0, 0.0).astype(dtype))
         g_eff = jnp.where(idx >= jdone, 0.0, g[:m])
         y = jax.scipy.linalg.solve_triangular(Hm, g_eff, lower=False)
-        return x + M(y @ V[:m]), jnp.abs(g[jdone]), jdone
+        corr = jnp.matmul(y, V[:m], precision=jax.lax.Precision.HIGHEST)
+        return x + M(corr), jnp.abs(g[jdone]), jdone
 
     def cond(state):
         x, res, k = state
@@ -172,20 +190,20 @@ def bicgstab(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
         return jnp.logical_and(s["k"] < maxiter, jnp.linalg.norm(s["r"]) > stop)
 
     def body(s):
-        rho_new = jnp.vdot(rhat, s["r"])
+        rho_new = _dot(rhat, s["r"])
         beta = (rho_new / jnp.where(s["rho"] == 0, 1.0, s["rho"])) * (
             s["alpha"] / jnp.where(s["omega"] == 0, 1.0, s["omega"])
         )
         p = s["r"] + beta * (s["p"] - s["omega"] * s["v"])
         phat = M(p)
         v = A(phat)
-        rv = jnp.vdot(rhat, v)
+        rv = _dot(rhat, v)
         alpha = rho_new / jnp.where(rv == 0, 1.0, rv)
         h = s["x"] + alpha * phat
         sres = s["r"] - alpha * v
         shat = M(sres)
         t = A(shat)
-        omega = jnp.vdot(t, sres) / jnp.maximum(jnp.vdot(t, t), 1e-300)
+        omega = _dot(t, sres) / jnp.maximum(_dot(t, t), 1e-300)
         x = h + omega * shat
         r = sres - omega * t
         return dict(x=x, r=r, p=p, v=v, rho=rho_new, alpha=alpha, omega=omega, k=s["k"] + 1)

@@ -663,7 +663,11 @@ def _static_precond(f: SolidField, mass_shift: float = 0.0):
                       "mesh; falling back to block_jacobi")
     elif hasattr(f, "hoister"):
         for lv in M.levels:
-            for nm in ("Xe", "Ke", "dinv", "mlump", "free"):
+            # NOTE: `free` (bool) is deliberately NOT hoisted — feeding a
+            # packed-pred lattice array as a runtime program input crashes
+            # the TPU worker (runtime layout fault, reproduced at n=72);
+            # as a ~1MB compile-time literal it is harmless
+            for nm in ("Xe", "Ke", "dinv", "mlump"):
                 if getattr(lv, nm, None) is not None:
                     f.hoister.register_attr(lv, nm)
     return M
@@ -853,16 +857,15 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
 
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u, dt=dt, mass_shift=(1 - am) / (beta * dt * dt))
-        if M_gmg is not None:
-            # the Chebyshev-smoothed V-cycle is NOT symmetric in the
-            # Euclidean inner product (only in the D-inner product), so CG
-            # with it is fragile — right-preconditioned GMRES is robust to
-            # a nonsymmetric preconditioner and keeps true-residual norms
-            res = ls.gmres(A, -r, M=M, tol=eta, atol=0.0, restart=40,
-                           maxiter=nw.lin_maxiter)
-        else:
-            res = ls.cg(A, -r, M=M, tol=eta, atol=0.0,
-                        maxiter=nw.lin_maxiter)
+        # CG + V-cycle.  The V-cycle's level matvecs must run at full f32
+        # (see gmg.py): with the TPU default bf16 matmul precision the
+        # V-cycle is non-additive at ~1e-3 relative, which broke both CG
+        # (divergence — perturbed M violates the fixed-SPD assumption) and
+        # GMRES (silent claimed-vs-true residual divergence at ~1M dofs).
+        # With f32 levels, CG's lockstep x/r recurrences keep the claimed
+        # residual honest even at kappa ~ 1e6 where GMRES's end-of-cycle
+        # reconstruction drifts by kappa*eps.
+        res = ls.cg(A, -r, M=M, tol=eta, atol=0.0, maxiter=nw.lin_maxiter)
         du = jnp.where(mask, res.x, 0.0)
         linres = jnp.linalg.norm(A(du) + r)  # ||A du - b||, b = -r
         return u + du, jnp.linalg.norm(du), res.iters, linres
