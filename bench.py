@@ -29,7 +29,7 @@ def main():
     n = int(os.environ.get("BENCH_N", "72"))
     n_steps = int(os.environ.get("BENCH_STEPS", "3"))
     precond = os.environ.get("BENCH_PRECOND", "gmg")
-    host_newton = os.environ.get("BENCH_HOST_NEWTON", "1") == "1"
+    host_newton = os.environ.get("BENCH_HOST_NEWTON", "0") == "1"
 
     disc = gridgen.box(n, n, n, cell="hex8")
     ndof = disc.n_nodes * 3
@@ -59,9 +59,19 @@ def main():
     params.newton.lin_maxiter = 1000
     params.newton.lin_rtol = 1e-4
 
+    # Sinusoidal shear traction (period 10 dt): the load changes
+    # substantially EVERY step, so each step needs a genuine multi-iteration
+    # Newton solve — no near-converged-at-entry steps (the reference's
+    # regression decks ramp loads the same way via FUNCT curves).
+    from fourc_tpu.core.functions import FunctionManager
+
+    fm = FunctionManager()
+    fm.add(1, "sin(31.4159*t)")
     dbc = [DirichletBC(disc.node_sets["zmin"], [1, 1, 1], [0, 0, 0])]
-    neu = [NeumannBC(disc.face_sets["zmax"], [1, 0, 0], [50.0, 0, 0])]
-    f = ps.SolidField(disc, {1: mat}, params, dirichlet=dbc, neumann=neu)
+    neu = [NeumannBC(disc.face_sets["zmax"], [1, 0, 0], [120.0, 0, 0],
+                     funct=[1, 0, 0])]
+    f = ps.SolidField(disc, {1: mat}, params, dirichlet=dbc, neumann=neu,
+                      functions=fm)
 
     state = ps.compute_initial_state(f, ps.init_state(f))
     step = ps.make_step(f, dt=0.02)

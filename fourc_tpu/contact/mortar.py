@@ -1,0 +1,386 @@
+"""Dual-mortar contact: Lagrange multipliers + semismooth active set.
+
+Counterpart of the reference's flagship contact stack
+(ref: src/contact `CONTACT::LagrangeStrategy`, semismooth active set in
+4C_contact_lagrange_strategy.cpp `update_active_set_semi_smooth`;
+segment-based mortar D/M in src/mortar 4C_mortar_interface.cpp:3366,3444;
+dual shape functions 4C_mortar_element_shapefct.cpp; 3D slave x master
+polygon clipping in 4C_mortar_coupling3d.cpp).
+
+TPU-native redesign — the reference's object-graph machinery (CoNode
+deriv-maps, Epetra row-map condensation, active-set row swaps) is replaced
+by three ideas:
+
+1. **Fixed segmentation, runtime geometry.** Slave x master polygon
+   clipping runs ONCE on the host (reference configuration; re-run on
+   demand for large sliding) and emits FIXED-SHAPE arrays of segment Gauss
+   points: (slave face, slave param xi, paired master face, param-space
+   weight).  Everything state-dependent — slave jacobians, averaged nodal
+   normals, the projection of each Gauss point onto its paired master
+   face, gaps, dual-shape coefficients — is evaluated ON DEVICE inside the
+   jitted residual, differentiably, at every Newton iteration.
+2. **AD replaces deriv-maps.** The weighted gap vector g̃(x) is computed
+   as one differentiable program; the contact force is its exact
+   variational dual  f_c = (∂g̃/∂x)^T λ  via `jax.vjp`, and the
+   Newton-Krylov matvec is `jax.jvp` through the whole thing — the full
+   consistent linearisation (normal rotation, jacobian change, projection
+   sliding) with zero hand-coded derivatives.
+3. **Active set as masking.** The semismooth update  active = (λ - c_n g̃
+   > 0)  is recomputed at every Newton iteration inside the while_loop;
+   multiplier rows switch between the constraint residual (g̃ = 0) and
+   the identity (λ = 0) by `jnp.where` — no row-map rebuilds, no re-jit.
+
+Dual (biorthogonal) multiplier shapes make the slave-side mortar matrix D
+diagonal: with Φ = A N and A = diag(d_e) M_e⁻¹ per slave face
+(M_e = ∫ N Nᵀ dA, d_e = ∫ N dA, integrated with the SAME segment rule so
+biorthogonality holds discretely), the contact virtual work decouples per
+slave node — the property the reference exploits for condensation; here it
+keeps the saddle system well-scaled for matrix-free GMRES.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fourc_tpu.coupling.mortar import (_ccw, _clip_convex, _face_quads,
+                                       _project_point_quad, _shape_quad4)
+
+# degree-4 (6-point) triangle rule — exact for the bilinear x affine
+# integrands of the rectangular patch test, near-exact for general quads
+_TRI6_GP = np.array([
+    [0.44594849091597, 0.44594849091597], [0.44594849091597, 0.10810301816807],
+    [0.10810301816807, 0.44594849091597], [0.09157621350977, 0.09157621350977],
+    [0.09157621350977, 0.81684757298046], [0.81684757298046, 0.09157621350977],
+])
+_TRI6_W = np.array([0.11169079483901, 0.11169079483901, 0.11169079483901,
+                    0.05497587182766, 0.05497587182766, 0.05497587182766])
+
+
+@dataclass
+class MortarContactCondition:
+    """Deck-level mortar contact: slave faces vs master faces."""
+
+    slave_faces: object  # list[FaceBlock] (quad4)
+    master_faces: object  # list[FaceBlock]
+    cn: float = 10.0  # complementarity/scaling parameter (x E/h at setup)
+    search_factor: float = 4.0  # broad-phase radius in face diameters
+
+
+def segment_quadrature(coords, slave_faces, master_faces, search_factor=4.0):
+    """Host-side slave x master segmentation (reference configuration).
+
+    Returns fixed-shape numpy arrays over all segment Gauss points:
+      sface (G,) slave face index, sxi (G, 2) slave param coords,
+      mface (G,) paired master face index, wpar (G,) param-space weight
+    such that  ∫_face φ dA = Σ_g wpar_g φ(ξ_g) detJ_s(ξ_g).
+    """
+    coords = np.asarray(coords)
+    sconn = _face_quads(slave_faces)
+    mconn = _face_quads(master_faces)
+    mcent = coords[mconn].mean(axis=1)
+
+    out_sf, out_xi, out_mf, out_w = [], [], [], []
+    for f in range(sconn.shape[0]):
+        Xs = coords[sconn[f]]
+        c0 = Xs.mean(axis=0)
+        t1v = Xs[1] - Xs[0]
+        t1v = t1v / np.linalg.norm(t1v)
+        nrm = np.cross(Xs[2] - Xs[0], Xs[3] - Xs[1])
+        nrm = nrm / np.linalg.norm(nrm)
+        t2v = np.cross(nrm, t1v)
+        P = np.stack([t1v, t2v])
+        spoly = _ccw((Xs - c0) @ P.T)
+        diam = np.linalg.norm(Xs - c0, axis=1).max()
+        near = np.where(((mcent - c0) ** 2).sum(axis=1)
+                        < (search_factor * diam) ** 2)[0]
+        for mf in near:
+            Xm = coords[mconn[mf]]
+            mpoly = _ccw((Xm - c0) @ P.T)
+            clip = _clip_convex(spoly, mpoly)
+            if len(clip) < 3:
+                continue
+            # map clip corners to slave PARAM coords, triangulate there:
+            # quadrature weights live in param space so the on-device
+            # integration can use the CURRENT-config jacobian detJ_s(xi)
+            pc = []
+            for p2 in clip:
+                x3 = c0 + p2 @ P
+                xi, eta, _ = _project_point_quad(x3, Xs)
+                pc.append([np.clip(xi, -1, 1), np.clip(eta, -1, 1)])
+            pc = np.asarray(pc)
+            for k in range(1, len(pc) - 1):
+                tri = np.stack([pc[0], pc[k], pc[k + 1]])
+                e1, e2 = tri[1] - tri[0], tri[2] - tri[0]
+                J2 = e1[0] * e2[1] - e1[1] * e2[0]
+                if abs(J2) < 1e-14:
+                    continue
+                for gp, wt in zip(_TRI6_GP, _TRI6_W):
+                    xi2 = ((1 - gp[0] - gp[1]) * tri[0] + gp[0] * tri[1]
+                           + gp[1] * tri[2])
+                    out_sf.append(f)
+                    out_xi.append(xi2)
+                    out_mf.append(mf)
+                    out_w.append(wt * abs(J2))
+    if not out_sf:
+        raise ValueError("mortar contact: no slave/master overlap found")
+    return (np.asarray(out_sf, np.int32), np.asarray(out_xi),
+            np.asarray(out_mf, np.int32), np.asarray(out_w),
+            sconn, mconn)
+
+
+def _N_quad4(xi):
+    """Bilinear shapes, batched: xi (..., 2) -> (..., 4)."""
+    a, b = xi[..., 0], xi[..., 1]
+    return 0.25 * jnp.stack([(1 - a) * (1 - b), (1 + a) * (1 - b),
+                             (1 + a) * (1 + b), (1 - a) * (1 + b)], axis=-1)
+
+
+def _dN_quad4(xi):
+    """(..., 4, 2) parametric gradients."""
+    a, b = xi[..., 0], xi[..., 1]
+    dxi = 0.25 * jnp.stack([-(1 - b), (1 - b), (1 + b), -(1 + b)], axis=-1)
+    det = 0.25 * jnp.stack([-(1 - a), -(1 + a), (1 + a), (1 - a)], axis=-1)
+    return jnp.stack([dxi, det], axis=-1)
+
+
+class MortarContact:
+    """One mortar contact interface (slave side carries the multipliers)."""
+
+    def __init__(self, coords, cond: MortarContactCondition, ndpn=3,
+                 disc=None):
+        assert ndpn == 3, "mortar contact is 3D (quad4 faces)"
+        (sf, sxi, mf, wpar, sconn, mconn) = segment_quadrature(
+            coords, cond.slave_faces, cond.master_faces,
+            cond.search_factor)
+        self.cn = float(cond.cn)
+        self.sconn = jnp.asarray(sconn)  # (Fs, 4)
+        self.mconn = jnp.asarray(mconn)  # (Fm, 4)
+        self.n_sfaces = int(sconn.shape[0])
+        snodes = np.unique(sconn)
+        self.snodes = jnp.asarray(snodes.astype(np.int32))  # (S,)
+        self.S = int(len(snodes))
+        lut = np.full(int(coords.shape[0]), -1, np.int64)
+        lut[snodes] = np.arange(self.S)
+        self.srow = jnp.asarray(lut[sconn].astype(np.int32))  # (Fs, 4)
+        self.seg_sf = jnp.asarray(sf)
+        self.seg_xi = jnp.asarray(sxi)
+        self.seg_mf = jnp.asarray(mf)
+        self.seg_w = jnp.asarray(wpar)
+
+        # per-slave-face winding sign so normals point OUTWARD from the
+        # slave body (gap convention: positive = separated) regardless of
+        # the face-set's conn orientation; orientation from the owning
+        # volume element's centroid (disc provided via attach())
+        coords = np.asarray(coords)
+        Xs = coords[sconn]  # (Fs, 4, 3)
+        nominal = np.cross(Xs[:, 2] - Xs[:, 0], Xs[:, 3] - Xs[:, 1])
+        if disc is not None:
+            inward = _owner_centroids(disc, sconn) - Xs.mean(axis=1)
+        else:  # fallback: away from the master cloud's centre
+            inward = coords[mconn].mean(axis=(0, 1))[None] - Xs.mean(axis=1)
+        sign = np.where((nominal * inward).sum(axis=1) <= 0, 1.0, -1.0)
+        self.face_sign = jnp.asarray(sign)
+
+    # -- differentiable geometry ------------------------------------------
+
+    def _nodal_normals(self, x):
+        """Area-weighted averaged OUTWARD slave normals per slave row (S,3)
+        (ref: averaged nodal normals, 4C_mortar_node.cpp)."""
+        Xf = x[self.sconn]  # (Fs, 4, 3)
+        corners = jnp.asarray([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0],
+                               [-1.0, 1.0]])
+        dN = _dN_quad4(corners)  # (corner, node, deriv)
+        t = jnp.einsum("fad,caj->fcjd", Xf, dN)  # (Fs, corner, deriv, 3)
+        nrm = jnp.cross(t[:, :, 0], t[:, :, 1])  # (Fs, 4, 3) area-weighted
+        nrm = nrm * self.face_sign[:, None, None]
+        acc = jnp.zeros((self.S, 3), x.dtype)
+        acc = acc.at[self.srow.reshape(-1)].add(nrm.reshape(-1, 3))
+        return acc / jnp.maximum(
+            jnp.linalg.norm(acc, axis=1, keepdims=True), 1e-30)
+
+    def _project(self, xs, n, Xm, iters=8):
+        """Solve Xm(eta) = xs + alpha n for (eta (2,), alpha): fixed-iter
+        Newton, differentiable (ref: Mortar::Projector ray projection)."""
+
+        def body(carry, _):
+            eta, alpha = carry
+            N = _N_quad4(eta)
+            dN = _dN_quad4(eta)  # (4, 2)
+            r = jnp.einsum("a,ad->d", N, Xm) - xs - alpha * n
+            J = jnp.concatenate(
+                [jnp.einsum("ac,ad->dc", dN, Xm), -n[:, None]], axis=1)
+            dz = jnp.linalg.solve(
+                J + 1e-30 * jnp.eye(3, dtype=J.dtype), -r)
+            return (eta + dz[:2], alpha + dz[2]), None
+
+        (eta, alpha), _ = jax.lax.scan(
+            body, (jnp.zeros(2, xs.dtype), jnp.asarray(0.0, xs.dtype)),
+            None, length=iters)
+        return eta, alpha
+
+    def gaps(self, x):
+        """Weighted nodal gaps g̃ (S,), diagonal mortar weights d (S,).
+
+        g̃_j = ∫ Φ_j (x_m∘proj - x_s)·n dA  — POSITIVE when separated
+        (n = outward slave normal), negative = penetration.
+        Fully differentiable in x; `jax.vjp` of (d·?) no — of g̃ gives the
+        consistent contact force directions.
+        """
+        nrows = self._nodal_normals(x)
+        Xs = x[self.sconn[self.seg_sf]]  # (G, 4, 3)
+        N_s = _N_quad4(self.seg_xi)  # (G, 4)
+        dN_s = _dN_quad4(self.seg_xi)  # (G, 4, 2)
+        xg = jnp.einsum("ga,gad->gd", N_s, Xs)
+        ng = jnp.einsum("ga,gad->gd", N_s, nrows[self.srow[self.seg_sf]])
+        ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=1, keepdims=True),
+                              1e-30)
+        tg = jnp.einsum("gad,gac->gcd", Xs, dN_s)  # (G, 2, 3)
+        detJ = jnp.linalg.norm(jnp.cross(tg[:, 0], tg[:, 1]), axis=1)
+        Xm = x[self.mconn[self.seg_mf]]  # (G, 4, 3)
+        _, alpha = jax.vmap(self._project)(xg, ng, Xm)
+        wphys = self.seg_w * detJ  # (G,)
+
+        # per-slave-face dual coefficients from the SAME rule (disc. biorth.)
+        Me = jnp.zeros((self.n_sfaces, 4, 4), x.dtype)
+        Me = Me.at[self.seg_sf].add(
+            wphys[:, None, None] * N_s[:, :, None] * N_s[:, None, :])
+        de = jnp.zeros((self.n_sfaces, 4), x.dtype)
+        de = de.at[self.seg_sf].add(wphys[:, None] * N_s)
+        eye = jnp.eye(4, dtype=x.dtype)
+        ok = jnp.abs(jnp.linalg.det(Me)) > 1e-30
+        Me_safe = jnp.where(ok[:, None, None], Me, eye[None])
+        A = jnp.where(
+            ok[:, None, None],
+            de[:, :, None] * jnp.linalg.inv(Me_safe), eye[None])
+        Phi = jnp.einsum("gab,gb->ga", A[self.seg_sf], N_s)  # (G, 4)
+
+        rows = self.srow[self.seg_sf]  # (G, 4)
+        gt = jnp.zeros((self.S,), x.dtype)
+        gt = gt.at[rows.reshape(-1)].add(
+            (wphys[:, None] * Phi * alpha[:, None]).reshape(-1))
+        d = jnp.zeros((self.S,), x.dtype)
+        d = d.at[rows.reshape(-1)].add((wphys[:, None] * Phi).reshape(-1))
+        return gt, d
+
+    def force(self, x, lam):
+        """Consistent contact force on ALL nodes from multipliers λ (S,):
+        f_c = (∂g̃/∂x)ᵀ λ — the exact dual of the weighted-gap constraint
+        (slave +D λ n, master -Mᵀ λ n, plus all geometric terms)."""
+        _, pullback = jax.vjp(lambda xx: self.gaps(xx)[0], x)
+        return pullback(lam)[0]
+
+
+def _owner_centroids(disc, fconn):
+    """(F, 3) centroid of the volume element owning each face (for outward
+    orientation of slave normals)."""
+    conns = [np.asarray(b.conn) for b in disc.blocks.values()]
+    allconn = np.concatenate([c for c in conns if c.shape[1] >= 4], axis=0)
+    coords = np.asarray(disc.coords)
+    cent = coords[allconn].mean(axis=1)  # (E, 3)
+    node2el = {}
+    for e, nodes in enumerate(allconn):
+        for n in nodes:
+            node2el.setdefault(int(n), []).append(e)
+    out = np.zeros((fconn.shape[0], 3))
+    for i, face in enumerate(fconn):
+        cands = set(node2el.get(int(face[0]), []))
+        for n in face[1:]:
+            cands &= set(node2el.get(int(n), []))
+        if not cands:  # dangling face: fall back to its own centroid
+            out[i] = coords[face].mean(axis=0)
+        else:
+            out[i] = cent[min(cands)]
+    return out
+
+
+def attach(field, conditions):
+    """Build MortarContact interfaces for a SolidField; returns list."""
+    return [MortarContact(np.asarray(field.disc.coords), c, field.ndpn,
+                          disc=field.disc)
+            for c in conditions]
+
+
+def extended_residual(field, residual_u, interfaces, scale=None):
+    """Semismooth residual over z = [u; λ_0; λ_1; ...].
+
+    r_u = residual_u(u) - Σ f_c(x(u), λ)        (equilibrium with contact)
+    r_λ = where(active, cn·g̃, λ)                (complementarity)
+    active = λ - cn·g̃ > 0                       (semismooth NCP)
+    """
+    sizes = [c.S for c in interfaces]
+    ndof = field.ndof
+
+    def split(z):
+        u = z[:ndof]
+        lams, off = [], ndof
+        for s in sizes:
+            lams.append(z[off:off + s])
+            off += s
+        return u, lams
+
+    def residual(z):
+        u, lams = split(z)
+        xcur = field.coords + u.reshape(-1, field.ndpn)
+        r_u = residual_u(u)
+        parts = [None]
+        for c, lam in zip(interfaces, lams):
+            r_u = r_u - c.force(xcur, lam).reshape(-1)
+            gt, d = c.gaps(xcur)
+            cn = c.cn * (scale if scale is not None else 1.0)
+            active = (lam - cn * gt) > 0.0
+            parts.append(jnp.where(active, cn * gt, lam))
+        parts[0] = r_u
+        return jnp.concatenate(parts)
+
+    return residual, split
+
+
+def make_statics_step(f, dt):
+    """Statics step with mortar-Lagrange contact: one jitted semismooth
+    Newton on z = [u; λ] (GMRES on the saddle system, block-diagonal
+    preconditioning).  The active set updates every Newton iteration —
+    the TPU-native form of the reference's semismooth strategy
+    (4C_contact_lagrange_strategy.cpp:4889 update_active_set_semi_smooth).
+    """
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from fourc_tpu.physics.newton import newton_solve
+
+    interfaces = f.mortar_contact
+    nltot = sum(c.S for c in interfaces)
+    ndof = f.ndof
+    nw = replace(f.params.newton, lin_method="gmres")
+
+    def step(state):
+        t1 = state["t"] + dt
+
+        def residual_u(u):
+            fi, _ = f.internal_force(u, dt=dt)
+            return fi - f.external_force(t1, u)
+
+        res_z, split = extended_residual(f, residual_u, interfaces)
+        u0 = f.dbc.apply(state["d"], t1)
+        z0 = jnp.concatenate([u0, state["lam"]])
+        mask_z = jnp.concatenate(
+            [f.dbc.free_mask, jnp.ones((nltot,), bool)])
+        M_u = f.build_preconditioner(u0, dt=dt)
+
+        def M_z(r):
+            return jnp.concatenate([M_u(r[:ndof]), r[ndof:]])
+
+        z, stats = newton_solve(res_z, z0, mask_z, M_z, nw)
+        u, lams = split(z)
+        fint_new, _ = f.internal_force(u, dt=dt)
+        new_state = dict(state)
+        new_state.update(
+            d=u, t=t1, step=state["step"] + 1, fint=fint_new,
+            fext=f.external_force(t1, u), lam=z[ndof:])
+        return new_state, stats
+
+    return step

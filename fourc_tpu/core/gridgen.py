@@ -267,3 +267,35 @@ def sheet(
                         node_sets=d2.node_sets, face_sets=d2.face_sets)
     d3.structured_shape = None
     return d3
+
+
+def merge(a: Discretization, b: Discretization, name=None) -> Discretization:
+    """Merge two meshes into one multi-body Discretization (node ids of
+    ``b`` offset past ``a``).  Element blocks keep per-mesh keys
+    ``<cell>`` / ``<cell>@2`` (blocks must stay material-homogeneous);
+    node/face sets get ``a_`` / ``b_`` prefixes.  The merged mesh is
+    unstructured (no lattice/structured fast paths).  Used for contact
+    problems between separate bodies (ref: multi-body input decks with
+    contact conditions)."""
+    off = a.n_nodes
+    d = Discretization(
+        name=name or a.name,
+        coords=np.concatenate([np.asarray(a.coords), np.asarray(b.coords)]),
+    )
+    for key, blk in a.blocks.items():
+        d.blocks[key] = blk
+    for key, blk in b.blocks.items():
+        k2 = key if key not in d.blocks else key + "@2"
+        d.blocks[k2] = ElementBlock(blk.cell, np.asarray(blk.conn) + off,
+                                    blk.mat_id)
+    for nm, ids in a.node_sets.items():
+        d.node_sets["a_" + nm] = np.asarray(ids)
+    for nm, ids in b.node_sets.items():
+        d.node_sets["b_" + nm] = np.asarray(ids) + off
+    for nm, fbs in a.face_sets.items():
+        d.face_sets["a_" + nm] = list(fbs)
+    for nm, fbs in b.face_sets.items():
+        d.face_sets["b_" + nm] = [
+            FaceBlock(fb.cell, np.asarray(fb.conn) + off) for fb in fbs]
+    d.node_sets["all"] = np.arange(d.n_nodes, dtype=np.int32)
+    return d

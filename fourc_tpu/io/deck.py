@@ -632,6 +632,18 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                     "faces": _resolve_faces(disc, item.pop("faces")),
                     "spec": item,
                 })
+            elif key == "contact" and str(
+                    item.get("strategy", "")) == "mortar_lagrange":
+                from fourc_tpu.contact.mortar import MortarContactCondition
+
+                f.setdefault("mortar_contact", []).append(
+                    MortarContactCondition(
+                        slave_faces=_resolve_faces(disc, item["slave"]),
+                        master_faces=_resolve_faces(disc, item["master"]),
+                        cn=float(item.get("cn", 10.0)),
+                        search_factor=float(item.get("search_factor", 4.0)),
+                    )
+                )
             elif key == "contact":
                 from fourc_tpu.contact.penalty import ContactCondition
 

@@ -208,6 +208,19 @@ class _Level:
             )(self.Xe)
             self.Ke = Ke  # (m, m, E)
 
+        # lattice stencil path: uniform 3D levels use the fused Pallas
+        # stencil matvec (ops/lattice.py) instead of the (m, E) matmul +
+        # slice-scatter form — the measured V-cycle bottleneck at 1M dofs
+        self._lattice_spec = None
+        from fourc_tpu.ops import lattice as _lat
+
+        if self.uniform and dim == 3 and _lat.enabled():
+            from fourc_tpu.ops.lattice import LatticeSpec, collapse_stencil
+
+            self._lattice_spec = LatticeSpec(pshape=tuple(self.pshape),
+                                             h=(1.0, 1.0, 1.0))
+            self._Kstencil = collapse_stencil(np.asarray(self.Ke))
+
         self.offsets = offsets
         self.mass_coeff = float(rho * mass_shift)
         if self.mass_coeff:
@@ -256,6 +269,14 @@ class _Level:
 
     def matvec(self, v):
         vm = jnp.where(self.free, v, 0.0)
+        if self._lattice_spec is not None:
+            from fourc_tpu.ops import lattice as _lat
+
+            out = _lat.stencil_matvec_flat(self._Kstencil, vm,
+                                           self._lattice_spec)
+            if self.mlump is not None:
+                out = out + self.mass_coeff * self.mlump * vm
+            return jnp.where(self.free, out, v)
         ve = self._gather(vm)  # (E, nen, ndpn)
         E = ve.shape[0]
         vt = jnp.transpose(ve.reshape(E, -1))  # (m, E)

@@ -166,10 +166,19 @@ def make_monolithic_step(f: FsiField, dt: float):
         Ms = solid.build_preconditioner(d0, dt=dt, mass_shift=ms)
         Mf = fluid.build_preconditioner(dt_factor=1.0 / (th_f * dt), dt=dt)
         dinv_m = jnp.repeat(ale._dinv, dim)
+        Mm = lambda rm: dinv_m * rm  # noqa: E731
 
-        def M(r):
-            rs, rf, rm = split(r)
-            return jnp.concatenate([Ms(rs), Mf(rf), dinv_m * rm])
+        from fourc_tpu.linalg import blockprec
+
+        # AMGnxn-analog block preconditioning (linalg/blockprec.py):
+        # "diag" = field-decoupled; "bgs" = coupling-aware forward sweep
+        # with matrix-free jvp off-diagonal blocks
+        if str(f.params.get("block_precond", "diag")) == "bgs":
+            M = blockprec.block_gauss_seidel(
+                residual, y0, [Ms, Mf, Mm], [nd, nf, nm], mask,
+                sweeps=int(f.params.get("bgs_sweeps", 1)))
+        else:
+            M = blockprec.block_diagonal([Ms, Mf, Mm], [nd, nf, nm])
 
         from dataclasses import replace
 

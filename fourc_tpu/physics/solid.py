@@ -98,6 +98,7 @@ class SolidField:
         point_neumann=(),
         body_forces=(),
         contact=(),
+        mortar_contact=(),
         meshtying=(),
         springs=(),
         constraints=(),
@@ -173,6 +174,39 @@ class SolidField:
 
             self.contact = PenaltyContact(list(contact), disc.coords, self.ndpn)
 
+        # mortar-Lagrange contact (contact/mortar.py): handled by a
+        # dedicated semismooth step builder, not the residual tail
+        self.mortar_contact = []
+        if mortar_contact:
+            from fourc_tpu.contact import mortar as _mc
+
+            self.mortar_contact = _mc.attach(self, list(mortar_contact))
+
+        # lattice fast path: on a single-block uniform hex8 lattice the
+        # whole force/tangent/mass hot loop collapses to fused 3D stencil
+        # kernels (ops/lattice.py; Pallas on TPU) — no gather/scatter at
+        # all.  Springs/contact/meshtying still add their terms on top.
+        self.lattice = None
+        self._lattice_force = None
+        self._lattice_mass = None
+        if (len(self.block_mat) == 1 and self.ndpn == 3
+                and params.kinem == "nonlinear" and params.tech == "none"):
+            mat0 = next(iter(self.block_mat.values()))
+            if not getattr(mat0, "history_shape", ()):
+                from fourc_tpu.ops import lattice as _lat
+
+                spec = _lat.detect_lattice(disc) if _lat.enabled() else None
+                if spec is not None:
+                    fn = _lat.make_force_flat(
+                        spec, self._cell(next(iter(self.block_mat))), mat0)
+                    if fn is not None:
+                        self.lattice = spec
+                        self._lattice_force = fn
+                        if params.mass == "consistent":
+                            # eagerly, while block_X is concrete (the
+                            # hoister swaps it for tracers inside jit)
+                            self._mass_stencil()
+
         # argument hoisting: register every big device buffer so jitted
         # steps take them as runtime parameters instead of HLO literals
         # (see utils/hoist.py — 2 GB lowered modules otherwise at 1M dofs)
@@ -245,6 +279,9 @@ class SolidField:
         """
         dm = self.dofmap
         per_block, new_hist = {}, {}
+        if (self._lattice_force is not None and not history and temps is None):
+            f = self._lattice_force(u)
+            return self._tail_forces(f, u, u_old, dt, cstate, history), None
         for key in dm.blocks:
             ue = dm.gather(u, key)
             h = None if history is None else history.get(key)
@@ -267,6 +304,11 @@ class SolidField:
             if hn is not None:
                 new_hist[key] = hn
         f = dm.scatter_add(per_block)
+        f = self._tail_forces(f, u, u_old, dt, cstate, history)
+        return f, (new_hist if new_hist else None)
+
+    def _tail_forces(self, f, u, u_old, dt, cstate, history):
+        """Spring-dashpot + contact additions to the bulk internal force."""
         if self.springs:
             un = u.reshape(-1, self.ndpn)
             uo = None if u_old is None else u_old.reshape(-1, self.ndpn)
@@ -284,7 +326,7 @@ class SolidField:
             sig = (self.nodal_stresses(u, history=history, dt=dt)
                    if self.contact.needs_stress else None)
             f = f - self.contact.force(x, cstate, xo, sig=sig).reshape(-1)
-        return f, (new_hist if new_hist else None)
+        return f
 
     def _cell(self, key):
         from fourc_tpu.core.cells import get_cell
@@ -383,11 +425,33 @@ class SolidField:
             per_block[key] = jnp.repeat(m, self.ndpn, axis=-1).reshape(m.shape[0], -1)
         return dm.scatter_add(per_block)
 
+    def _mass_stencil(self):
+        """Congruent-element consistent-mass (8,3,8,3) stencil (lattice)."""
+        if self._lattice_mass is None:
+            from fourc_tpu.ops import lattice as _lat
+
+            key = next(iter(self.block_mat))
+            cell = self._cell(key)
+            Xe1 = self.block_X[key][:1]
+            cols = []
+            for k in range(24):
+                ve = jnp.zeros((1, 24)).at[:, k].set(1.0).reshape(1, 8, 3)
+                cols.append(ops.consistent_mass_matvec(
+                    Xe1, ve, cell, self._density[key]).reshape(24))
+            Me = np.stack([np.asarray(c) for c in cols], axis=1)
+            self._lattice_mass = _lat.collapse_stencil(Me)
+        return self._lattice_mass
+
     def mass_matvec(self, v):
         if self.params.mass == "lumped":
             if not hasattr(self, "_mlump"):
                 self._mlump = self.lumped_mass()
             return self._mlump * v
+        if self.lattice is not None:
+            from fourc_tpu.ops import lattice as _lat
+
+            return _lat.stencil_matvec_flat(self._mass_stencil(), v,
+                                            self.lattice)
         dm = self.dofmap
         per_block = {}
         for key in dm.blocks:
@@ -586,6 +650,9 @@ def init_state(f: SolidField):
     }
     if f.contact is not None and f.contact.stateful:
         state["con"] = f.contact.init_state(z.dtype)
+    if getattr(f, "mortar_contact", None):
+        state["lam"] = jnp.zeros((sum(c.S for c in f.mortar_contact),),
+                                 z.dtype)
     return state
 
 
@@ -629,7 +696,13 @@ def make_step(f: SolidField, dt: float | None = None):
     """Build the jitted step function for the configured integrator."""
     dt = float(dt if dt is not None else f.params.dt)
     typ = f.params.dyntype
-    if typ == "statics":
+    if getattr(f, "mortar_contact", None):
+        if typ != "statics":
+            raise NotImplementedError("mortar-Lagrange contact: statics only")
+        from fourc_tpu.contact import mortar as _mc
+
+        raw = _mc.make_statics_step(f, dt)
+    elif typ == "statics":
         raw = _make_statics_step(f, dt)
     elif typ == "onesteptheta":
         raw = _make_ost_step(f, dt)

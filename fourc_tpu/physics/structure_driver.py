@@ -69,6 +69,7 @@ def build_field(deck, disc_name="structure"):
         point_neumann=conds.get("point_neumann", ()),
         body_forces=conds.get("body_force", ()),
         contact=conds.get("contact", ()),
+        mortar_contact=conds.get("mortar_contact", ()),
         meshtying=conds.get("meshtying", ()),
         springs=conds.get("spring_dashpot", ()),
         constraints=_build_constraints(conds.get("constraint", ()), disc,
