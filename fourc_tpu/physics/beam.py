@@ -52,11 +52,34 @@ class BeamField:
         self.block_K = {}
         self.block_M = {}
         self.block_gex = {}  # geometrically exact force builders
+        # small structural element zoo (ops/truss.py; ref src/truss3,
+        # src/torsion3, src/rigidsphere): per-block (kind, Xe, mat)
+        self.block_extra = {}
         for key, blk in disc.blocks.items():
-            if blk.cell != "line2":
-                raise ValueError("BeamField supports line2 elements")
             mat = materials[int(np.asarray(blk.mat_id)[0])]
+            kind = getattr(mat, "kind", "beam")
             Xe = np.asarray(disc.coords)[np.asarray(blk.conn)]
+            if kind in ("truss", "torsion_spring", "rigidsphere"):
+                from fourc_tpu.ops import truss as tops
+
+                self.block_extra[key] = (kind, jnp.asarray(Xe), mat)
+                # lumped mass: truss rho*A*L/2 per node (translations);
+                # sphere solid-sphere mass + rotational inertia
+                nen = Xe.shape[1]
+                Me = np.zeros((Xe.shape[0], nen * 6))
+                if kind == "truss" and mat.density:
+                    L = np.linalg.norm(Xe[:, 1] - Xe[:, 0], axis=1)
+                    half = 0.5 * mat.density * mat.area * L
+                    for a in range(2):
+                        Me[:, a * 6:a * 6 + 3] = half[:, None]
+                elif kind == "rigidsphere" and mat.density:
+                    m, inertia = tops.sphere_mass(mat.radius, mat.density)
+                    Me[:, 0:3] = m
+                    Me[:, 3:6] = inertia
+                self.block_M[key] = jnp.asarray(Me)
+                continue
+            if blk.cell != "line2":
+                raise ValueError("BeamField beam blocks must be line2")
             Kg, Ls = ops.build_element_matrices(Xe, mat)
             self.block_K[key] = jnp.asarray(Kg)
             self.block_M[key] = ops.lumped_mass(jnp.asarray(Ls), mat)
@@ -70,6 +93,22 @@ class BeamField:
         dm = self.dofmap
         per_block = {}
         for key in dm.blocks:
+            if key in self.block_extra:
+                from fourc_tpu.ops import truss as tops
+
+                kind, Xe, mat = self.block_extra[key]
+                ue6 = dm.gather(u, key)  # (E, nen, 6)
+                fe6 = jnp.zeros_like(ue6)
+                if kind == "truss":
+                    ft = tops.truss_force(Xe, ue6[:, :, :3], mat.ea)
+                    fe6 = fe6.at[:, :, :3].set(ft)
+                elif kind == "torsion_spring":
+                    ft = tops.torsion_force(Xe, ue6[:, :, :3], mat.stiffness,
+                                            mat.bend_potential)
+                    fe6 = fe6.at[:, :, :3].set(ft)
+                # rigidsphere: no internal force
+                per_block[key] = fe6.reshape(fe6.shape[0], -1)
+                continue
             if key in self.block_gex:
                 ue6 = dm.gather(u, key)  # (E, 2, 6)
                 fe = self.block_gex[key](ue6)
@@ -125,12 +164,31 @@ class BeamField:
                 K = np.zeros((self.ndof, self.ndof))
                 for key, blk in self.dofmap.blocks.items():
                     conn = np.asarray(self.disc.blocks[key].conn)
-                    Ke = np.asarray(self.block_K[key])  # (E, 12, 12)
+                    nen = conn.shape[1]
                     dof = (conn[:, :, None] * 6 + np.arange(6)[None, None]) \
-                        .reshape(-1, 12)
-                    for e in range(dof.shape[0]):
-                        ix = dof[e]
-                        K[np.ix_(ix, ix)] += Ke[e]
+                        .reshape(-1, nen * 6)
+                    if key in self.block_extra:
+                        kind, Xe, mat = self.block_extra[key]
+                        if kind == "truss":
+                            # linear axial stiffness EA/L d⊗d (the u=0
+                            # tangent) as the preconditioner block
+                            Xe = np.asarray(Xe)
+                            D = Xe[:, 1] - Xe[:, 0]
+                            L = np.linalg.norm(D, axis=1)
+                            dn = D / L[:, None]
+                            kdd = (mat.ea / L)[:, None, None] * (
+                                dn[:, :, None] * dn[:, None, :])
+                            for e in range(dof.shape[0]):
+                                for sa, sb, sgn in ((0, 0, 1), (1, 1, 1),
+                                                    (0, 1, -1), (1, 0, -1)):
+                                    ia = dof[e, sa * 6:sa * 6 + 3]
+                                    ib = dof[e, sb * 6:sb * 6 + 3]
+                                    K[np.ix_(ia, ib)] += sgn * kdd[e]
+                    else:
+                        Ke = np.asarray(self.block_K[key])  # (E, 12, 12)
+                        for e in range(dof.shape[0]):
+                            ix = dof[e]
+                            K[np.ix_(ix, ix)] += Ke[e]
                     if mass_shift:
                         Me = np.asarray(self.block_M[key])
                         np.add.at(K, (dof.reshape(-1), dof.reshape(-1)),
@@ -139,6 +197,10 @@ class BeamField:
                 K[~free, :] = 0.0
                 K[:, ~free] = 0.0
                 K[~free, ~free] = 1.0
+                # dofs with no stiffness path (torsion-spring-only nodes,
+                # rigid spheres in statics, truss rotations): identity rows
+                zero = np.abs(np.diag(K)) < 1e-14
+                K[zero, zero] = 1.0
                 cache[key_] = jnp.asarray(np.linalg.inv(K))
                 self._pc_cache = cache
             Kinv = cache[key_]
@@ -146,7 +208,17 @@ class BeamField:
         dm = self.dofmap
         per_block = {}
         for key in dm.blocks:
-            Kd = jnp.einsum("eii->ei", self.block_K[key])
+            if key in self.block_extra:
+                kind, Xe, mat = self.block_extra[key]
+                nen = Xe.shape[1]
+                Kd = jnp.zeros((Xe.shape[0], nen * 6), self.coords.dtype)
+                if kind == "truss":
+                    L = jnp.linalg.norm(Xe[:, 1] - Xe[:, 0], axis=1)
+                    ax = (mat.ea / L)[:, None]
+                    for a in range(2):
+                        Kd = Kd.at[:, a * 6:a * 6 + 3].set(ax)
+            else:
+                Kd = jnp.einsum("eii->ei", self.block_K[key])
             if mass_shift:
                 Kd = Kd + mass_shift * self.block_M[key]
             per_block[key] = Kd

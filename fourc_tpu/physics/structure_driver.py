@@ -40,7 +40,10 @@ def build_field(deck, disc_name="structure"):
     )
     materials = {mid: make_material(spec) for mid, spec in deck.materials.items()}
     conds = deck.conditions.get(disc_name, {})
-    if all(b.cell == "line2" for b in disc.blocks.values()):
+    _beam_kinds = ("beam", "truss", "torsion_spring", "rigidsphere")
+    if all(b.cell == "line2" for b in disc.blocks.values()) or all(
+            getattr(materials[int(np.asarray(b.mat_id)[0])], "kind", "")
+            in _beam_kinds for b in disc.blocks.values()):
         from fourc_tpu.physics.beam import BeamField
 
         bc = conds.get("beam_contact")
