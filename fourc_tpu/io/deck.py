@@ -172,7 +172,8 @@ DECK_SPEC = {
                 str, "structure",
                 choices=("structure", "scatra", "thermo", "fluid", "tsi", "ale",
                          "fsi", "ssi", "particle", "lubrication", "elch",
-                         "poroelasticity", "cardiovascular0d",
+                         "poroelasticity", "poroelast_scatra",
+                         "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
                          "porofluidmultiphase", "loma", "ssti", "ehl", "fs3i", "fpsi",
                          "fbi", "levelset"),

@@ -23,6 +23,10 @@ class ScatraMat(Material):
     diffusivity: float
     reacoeff: float = 0.0
     density: float = 1.0
+    # storage scaling of d phi/dt — porosity for transport through porous
+    # media (poroelast_scatra; ref src/scatra_ele poro variants pull this
+    # from the coupled poro material)
+    capacity: float = 1.0
 
     def diff(self, phi=None):
         return self.diffusivity

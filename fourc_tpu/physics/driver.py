@@ -78,6 +78,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import fsi_driver
 
         return fsi_driver.run(deck, callbacks=callbacks)
+    if ptype == "poroelast_scatra":
+        from fourc_tpu.physics import poro_scatra_driver
+
+        return poro_scatra_driver.run(deck, callbacks)
     if ptype == "poroelasticity":
         from fourc_tpu.physics import poro_driver
 

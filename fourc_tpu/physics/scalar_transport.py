@@ -134,8 +134,9 @@ class ScalarField:
         m = self.block_mat[key]
         kind = getattr(m, "kind", "scatra")
         if kind in ("scatra", "scatra_solid", "poro_solid"):
-            # d phi/dt (capacity 1 unless the coupled material says otherwise)
-            rhoc = float(getattr(m, "capacity", 1.0) or 1.0) if kind in ("scatra_solid", "poro_solid") else 1.0
+            # d phi/dt storage scaling (porosity for porous transport,
+            # 1 otherwise)
+            rhoc = float(getattr(m, "capacity", 1.0) or 1.0)
             diff = m.diff()
             reaction = m.reaction
         else:  # thermo / thermo_solid: rho c dT/dt = div(k grad T)
