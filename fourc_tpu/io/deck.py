@@ -175,7 +175,7 @@ DECK_SPEC = {
                          "poroelasticity", "poroelast_scatra",
                          "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
-                         "porofluidmultiphase", "loma", "ssti", "ehl", "fs3i", "fpsi",
+                         "porofluidmultiphase", "loma", "sti", "ssti", "ehl", "fs3i", "fpsi",
                          "fbi", "levelset"),
             ),
             "restart": param(int, 0),
@@ -257,6 +257,14 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-9),
         },
         doc="EHL DYNAMIC (structure + Reynolds film, partitioned)",
+    ),
+    "sti_dynamic": group(
+        {
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "q_joule": param(float, 0.0, doc="dissipative heating coefficient"),
+        },
+        doc="STI DYNAMIC (scatra-thermo, monolithic Soret coupling)",
     ),
     "ssti_dynamic": group(
         {

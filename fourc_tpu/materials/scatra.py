@@ -35,6 +35,27 @@ class ScatraMat(Material):
         return self.reacoeff * phi
 
 
+@register_material("soret")
+@dataclass
+class SoretMat(Material):
+    """Thermodiffusive scalar: Fickian diffusion + Soret thermal drift
+    j = -D (grad c + S_T c grad T)  (ref: src/mat/4C_mat_soret.* used by
+    the sti module)."""
+
+    kind = "scatra"
+    diffusivity: float
+    soret: float = 0.0  # S_T thermal-diffusion coefficient
+    reacoeff: float = 0.0
+    density: float = 1.0
+    capacity: float = 1.0
+
+    def diff(self, phi=None):
+        return self.diffusivity
+
+    def reaction(self, phi):
+        return self.reacoeff * phi
+
+
 @register_material("scatra_reaction")
 @dataclass
 class ScatraReaction(Material):

@@ -114,6 +114,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import ehl_driver
 
         return ehl_driver.run(deck, callbacks)
+    if ptype == "sti":
+        from fourc_tpu.physics import sti_driver
+
+        return sti_driver.run(deck, callbacks)
     if ptype == "ssti":
         from fourc_tpu.physics import ssti_driver
 

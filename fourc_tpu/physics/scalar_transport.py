@@ -166,13 +166,15 @@ class ScalarField:
         return s
 
     def residual_transient(self, phi, phidot, t, dt=None, extra_source=None,
-                           mesh_disp=None, vel_nodes=None):
+                           mesh_disp=None, vel_nodes=None, extra_flux=None):
         """Global residual r(phi, phidot) at time t.
 
         extra_source: optional {block_key: (e,g)} coupling source at GPs
         (used by TSI for thermoelastic heating).
         mesh_disp: (n_nodes, dim) — evaluate transport on the DEFORMED
         configuration (SSI: diffusion follows the deforming body).
+        extra_flux: optional {block_key: (e,g,d)} additional diffusive-type
+        flux at GPs, added as int grad(w) . flux (STI Soret term).
         """
         dm = self.dofmap
         per_block = {}
@@ -206,6 +208,11 @@ class ScalarField:
                           else "zero"),
                 dt=dt,
             )
+            if extra_flux is not None and key in extra_flux:
+                G, detJ = gm.iso_gradients(Xe, cell.dN)
+                wdet = gm.weighted(detJ, cell.gauss_weights)
+                fe = fe + jnp.einsum("eg,egad,egd->ea", wdet, G,
+                                     extra_flux[key])
             per_block[key] = fe
         r = dm.scatter_add(per_block)
         return r - self.neumann_flux(t)
