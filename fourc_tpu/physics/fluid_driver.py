@@ -88,5 +88,8 @@ class FluidFieldView:
         if q in ("pressure", "p"):
             return float(xn[node, self.f.dim])
         if q.startswith("vel"):
-            return float(xn[node, self._COMP[q[-1]]])
+            comp = self._COMP[q[-1]]
+            if comp >= self.f.dim:  # e.g. velz on a 2D fluid
+                raise KeyError(f"no component {quantity!r} in {self.f.dim}D")
+            return float(xn[node, comp])
         raise KeyError(f"unknown fluid quantity {quantity!r}")
