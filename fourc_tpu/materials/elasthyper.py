@@ -226,11 +226,10 @@ class CoupAnisoExpo(Summand):
     k2: float
     a: tuple = (1.0, 0.0, 0.0)
     tension_only: bool = True
+    kappa: float = 0.0  # GOH fiber dispersion (0 = aligned, 1/3 = isotropic)
 
     def psi(self, inv):
-        a = jnp.asarray(self.a)
-        a = a / jnp.linalg.norm(a)
-        I4 = a @ (inv["C"] @ a)
+        I4 = _I4(inv, self.a, self.kappa)
         x = I4 - 1.0
         if self.tension_only:
             x = jnp.maximum(x, 0.0)
@@ -248,6 +247,307 @@ class CoupAnisoNeoHooke(Summand):
         a = a / jnp.linalg.norm(a)
         I4 = a @ (inv["C"] @ a)
         return self.c * (I4 - 1.0)
+
+
+# --- additional coupled summands (ref: src/mat/elast/) ----------------------
+
+
+@register_summand("coupsvk")
+@register_summand("coupsaintvenantkirchhoff")
+@dataclass
+class CoupSVK(Summand):
+    """ref: 4C_mat_elast_coupSaintVenantKirchhoff: lam/2 tr(E)^2 + mu tr(E^2)."""
+
+    youngs: float
+    nue: float
+
+    def psi(self, inv):
+        lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
+        mu = self.youngs / (2 * (1 + self.nue))
+        E = 0.5 * (inv["C"] - _I3)
+        return 0.5 * lam * jnp.trace(E) ** 2 + mu * jnp.trace(E @ E)
+
+
+@register_summand("coup1pow")
+@dataclass
+class Coup1Pow(Summand):
+    """ref: 4C_mat_elast_coup1pow: c (I1 - 3)^d."""
+
+    c: float
+    d: int = 1
+
+    def psi(self, inv):
+        return self.c * (inv["I1"] - 3.0) ** self.d
+
+
+@register_summand("coup2pow")
+@dataclass
+class Coup2Pow(Summand):
+    """ref: 4C_mat_elast_coup2pow: c (I2 - 3)^d."""
+
+    c: float
+    d: int = 1
+
+    def psi(self, inv):
+        return self.c * (inv["I2"] - 3.0) ** self.d
+
+
+@register_summand("coup3pow")
+@dataclass
+class Coup3Pow(Summand):
+    """ref: 4C_mat_elast_coup3pow: c (I3 - 1)^d."""
+
+    c: float
+    d: int = 1
+
+    def psi(self, inv):
+        return self.c * (inv["I3"] - 1.0) ** self.d
+
+
+@register_summand("coup13apow")
+@dataclass
+class Coup13APow(Summand):
+    """ref: 4C_mat_elast_coup13apow: c (I1 * I3^(-a) - 3)^d."""
+
+    c: float
+    d: int = 1
+    a: float = 1.0
+
+    def psi(self, inv):
+        return self.c * (inv["I1"] * inv["I3"] ** (-self.a) - 3.0) ** self.d
+
+
+@register_summand("coupexppol")
+@dataclass
+class CoupExpPol(Summand):
+    """ref: 4C_mat_elast_coupexppol: a exp(b(I1-3) - (2b+c) lnJ + c(J-1)) - a."""
+
+    a: float
+    b: float
+    c: float
+
+    def psi(self, inv):
+        lnJ = jnp.log(inv["J"])
+        return self.a * jnp.exp(
+            self.b * (inv["I1"] - 3.0) - (2.0 * self.b + self.c) * lnJ
+            + self.c * (inv["J"] - 1.0)
+        ) - self.a
+
+
+@register_summand("coupsimopister")
+@dataclass
+class CoupSimoPister(Summand):
+    """ref: 4C_mat_elast_coupsimopister: mu/2 (I1-3) - mu ln J."""
+
+    mue: float
+
+    def psi(self, inv):
+        return 0.5 * self.mue * (inv["I1"] - 3.0) - self.mue * jnp.log(inv["J"])
+
+
+@register_summand("couplogmixneohooke")
+@dataclass
+class CoupLogMixNeoHooke(Summand):
+    """ref: 4C_mat_elast_couplogmixneohooke:
+    mu/2 (I1-3) - mu ln sqrt(I3) + lam/2 (sqrt(I3)-1)^2."""
+
+    youngs: float
+    nue: float
+
+    def psi(self, inv):
+        lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
+        mu = self.youngs / (2 * (1 + self.nue))
+        J = inv["J"]
+        return 0.5 * mu * (inv["I1"] - 3.0) - mu * jnp.log(J) + 0.5 * lam * (J - 1.0) ** 2
+
+
+@register_summand("volpow")
+@dataclass
+class VolPow(Summand):
+    """ref: 4C_mat_elast_volpow: a/(expon-1) J^(1-expon) + a J."""
+
+    a: float
+    expon: float = 5.0
+
+    def psi(self, inv):
+        J = inv["J"]
+        return self.a / (self.expon - 1.0) * J ** (1.0 - self.expon) + self.a * J
+
+
+# --- principal-stretch summands ---------------------------------------------
+#
+# Stretches come from eigvalsh(C).  eigh's jvp divides by eigenvalue gaps,
+# so at degenerate stretches (undeformed state!) gradients NaN; a fixed
+# infinitesimal anisotropic jitter splits the eigenvalues with O(1e-10)
+# energy error, keeping the AD stress/tangent finite everywhere.
+_EIG_JITTER = jnp.diag(jnp.array([1.0, 2.0, 3.0])) * 1e-10
+
+
+def principal_stretches(C):
+    lam2 = jnp.linalg.eigvalsh(C + _EIG_JITTER)
+    return jnp.sqrt(jnp.maximum(lam2, 1e-30))
+
+
+@register_summand("coupvarga")
+@dataclass
+class CoupVarga(Summand):
+    """ref: 4C_mat_elast_coupvarga: (2mu-beta)(l1+l2+l3-3) + beta(sum 1/li - 3)."""
+
+    mue: float
+    beta: float = 0.0
+
+    def psi(self, inv):
+        lam = principal_stretches(inv["C"])
+        alpha = 2.0 * self.mue - self.beta
+        return alpha * (jnp.sum(lam) - 3.0) + self.beta * (jnp.sum(1.0 / lam) - 3.0)
+
+
+@register_summand("isovarga")
+@dataclass
+class IsoVarga(Summand):
+    """ref: 4C_mat_elast_isovarga — Varga on the isochoric stretches."""
+
+    mue: float
+    beta: float = 0.0
+
+    def psi(self, inv):
+        lam = principal_stretches(inv["C"]) * inv["J"] ** (-1.0 / 3.0)
+        alpha = 2.0 * self.mue - self.beta
+        return alpha * (jnp.sum(lam) - 3.0) + self.beta * (jnp.sum(1.0 / lam) - 3.0)
+
+
+@register_summand("isoogden")
+@dataclass
+class IsoOgden(Summand):
+    """ref: 4C_mat_elast_isoogden: 2 mu/alpha^2 (sum lbar_i^alpha - 3)."""
+
+    mue: float
+    alpha: float = 2.0
+
+    def psi(self, inv):
+        lb = principal_stretches(inv["C"]) * inv["J"] ** (-1.0 / 3.0)
+        return 2.0 * self.mue / self.alpha**2 * (jnp.sum(lb**self.alpha) - 3.0)
+
+
+@register_summand("iso1pow")
+@dataclass
+class Iso1Pow(Summand):
+    """ref: 4C_mat_elast_iso1pow: c (I1b - 3)^d."""
+
+    c: float
+    d: int = 1
+
+    def psi(self, inv):
+        return self.c * (inv["I1b"] - 3.0) ** self.d
+
+
+@register_summand("iso2pow")
+@dataclass
+class Iso2Pow(Summand):
+    """ref: 4C_mat_elast_iso2pow: c (I2b - 3)^d."""
+
+    c: float
+    d: int = 1
+
+    def psi(self, inv):
+        return self.c * (inv["I2b"] - 3.0) ** self.d
+
+
+# --- additional anisotropic summands ----------------------------------------
+
+
+def _unit(a):
+    a = jnp.asarray(a, jnp.result_type(float))
+    return a / jnp.linalg.norm(a)
+
+
+def _I4(inv, a, kappa=0.0):
+    """Generalized fiber invariant with GOH dispersion: the dispersed
+    structural tensor H = kappa I + (1-3 kappa) a (x) a gives
+    I4* = kappa I1 + (1-3 kappa) a.C.a (ref:
+    4C_mat_elast_aniso_structuraltensor_strategy dispersed transversely
+    isotropic strategy; kappa in [0, 1/3], 0 = perfectly aligned)."""
+    a = _unit(a)
+    I4 = a @ (inv["C"] @ a)
+    if kappa:
+        return kappa * inv["I1"] + (1.0 - 3.0 * kappa) * I4
+    return I4
+
+
+@register_summand("coupanisopow")
+@dataclass
+class CoupAnisoPow(Summand):
+    """ref: 4C_mat_elast_coupanisopow: K ((I4)^d1 - 1)^d2."""
+
+    k: float
+    d1: float = 1.0
+    d2: float = 1.0
+    a: tuple = (1.0, 0.0, 0.0)
+    tension_only: bool = True
+
+    def psi(self, inv):
+        I4 = _I4(inv, self.a)
+        x = I4**self.d1 - 1.0
+        if self.tension_only:
+            x = jnp.maximum(x, 0.0)
+        return self.k * x**self.d2
+
+
+@register_summand("isoanisoexpo")
+@dataclass
+class IsoAnisoExpo(Summand):
+    """ref: 4C_mat_elast_isoanisoexpo: Holzapfel fiber term on the
+    ISOCHORIC fiber invariant I4b = I4 * I3^(-1/3)."""
+
+    k1: float
+    k2: float
+    a: tuple = (1.0, 0.0, 0.0)
+    tension_only: bool = True
+
+    def psi(self, inv):
+        I4b = _I4(inv, self.a) * inv["I3"] ** (-1.0 / 3.0)
+        x = I4b - 1.0
+        if self.tension_only:
+            x = jnp.maximum(x, 0.0)
+        return self.k1 / (2.0 * self.k2) * (jnp.exp(self.k2 * x**2) - 1.0)
+
+
+@register_summand("coupanisoexpotwocoup")
+@dataclass
+class CoupAnisoExpoTwoCoup(Summand):
+    """Two coupled fiber families with fiber-fiber shear coupling
+    (Holzapfel-Ogden passive myocardium; ref:
+    4C_mat_elast_coupanisoexpotwocoup):
+      psi = a4/(2 b4) (e^{b4 (I4-1)^2} - 1) + a6/(2 b6) (e^{b6 (I6-1)^2} - 1)
+          + a8/(2 b8) (e^{b8 (I8 - a.b)^2} - 1),   I8 = a.C.b
+    """
+
+    a4: float
+    b4: float
+    a6: float
+    b6: float
+    a8: float
+    b8: float
+    a: tuple = (1.0, 0.0, 0.0)
+    b: tuple = (0.0, 1.0, 0.0)
+    tension_only: bool = True
+
+    def psi(self, inv):
+        a, b = _unit(self.a), _unit(self.b)
+        C = inv["C"]
+        I4 = a @ (C @ a)
+        I6 = b @ (C @ b)
+        I8 = a @ (C @ b)
+        x4, x6 = I4 - 1.0, I6 - 1.0
+        if self.tension_only:
+            x4 = jnp.maximum(x4, 0.0)
+            x6 = jnp.maximum(x6, 0.0)
+        x8 = I8 - jnp.dot(a, b)
+        return (
+            self.a4 / (2 * self.b4) * (jnp.exp(self.b4 * x4**2) - 1.0)
+            + self.a6 / (2 * self.b6) * (jnp.exp(self.b6 * x6**2) - 1.0)
+            + self.a8 / (2 * self.b8) * (jnp.exp(self.b8 * x8**2) - 1.0)
+        )
 
 
 # --- the composed material ---------------------------------------------------
