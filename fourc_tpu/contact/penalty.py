@@ -41,6 +41,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fourc_tpu.contact.constitutivelaw import make_law
+
 
 @dataclass
 class ContactCondition:
@@ -57,6 +59,10 @@ class ContactCondition:
     uzawa_max_iter: int = 8  # outer multiplier updates (statics driver)
     uzawa_tol: float = 1e-8  # stop when max |pen*g| change below this
     wear_coeff: float = 0.0  # Archard wear coefficient k_w (0 = no wear)
+    # regularized pressure-penetration law (contact/constitutivelaw.py;
+    # ref src/contact_constitutivelaw): "linear" reproduces plain penalty
+    law: str = "linear"
+    law_params: dict = None
 
 
 class PenaltyContact:
@@ -118,6 +124,13 @@ class PenaltyContact:
                     uzawa_max_iter=int(c.uzawa_max_iter),
                     uzawa_tol=float(c.uzawa_tol),
                     kw=float(c.wear_coeff),
+                    law=make_law(getattr(c, "law", "linear"),
+                                 getattr(c, "law_params", None),
+                                 float(c.penalty)),
+                    # non-linear laws are PRESSURE-penetration relations
+                    # (scaled by nodal tributary area); the linear default
+                    # keeps classic nodal-spring penalty semantics
+                    law_pressure=getattr(c, "law", "linear") != "linear",
                 )
             )
         self.stateful = any(p["mu"] > 0 or p["strategy"] == "uzawa"
@@ -241,6 +254,7 @@ def _pair_force(x, p, pstate, x_old, sig=None):
     """
     slave, mconn, cand = p["slave"], p["mconn"], p["cand"]
     pen, pen_t, mu_f = p["pen"], p["pen_t"], p["mu"]
+    law = p.get("law") or (lambda delta: pen * jnp.maximum(0.0, delta))
     kw = p.get("kw", 0.0)
     lam = pstate["lam"] if pstate is not None else None
     tt_old = pstate["tt"] if pstate is not None else None
@@ -255,6 +269,7 @@ def _pair_force(x, p, pstate, x_old, sig=None):
 
     def per_slave(s, a_s, cands, lam_s, tt_s, w_s):
         xs = x[s]
+        lscale = a_s if p.get("law_pressure") else 1.0
         sig_s = sig[s] if nitsche else None
 
         def per_cand(fidx):
@@ -286,7 +301,11 @@ def _pair_force(x, p, pstate, x_old, sig=None):
             snn = jnp.einsum("kd,de,ke->k", n, sig_s, n)  # (K,)
             p_n = jnp.where(near, jnp.maximum(0.0, -snn * a_s - pen * g), 0.0)
         else:
-            p_n = jnp.where(near, jnp.maximum(0.0, lam_s - pen * g), 0.0)  # (K,)
+            # regularized pressure-penetration law on delta = -g (linear
+            # law == classic penalty; ref src/contact_constitutivelaw);
+            # pressure laws integrate over the nodal tributary area
+            p_n = jnp.where(near, jnp.maximum(0.0, lam_s + lscale * law(-g)),
+                            0.0)  # (K,)
         p_node = jnp.sum(w * p_n)
 
         # --- Coulomb friction (elastic predictor / return mapping) ---------
@@ -321,7 +340,7 @@ def _pair_force(x, p, pstate, x_old, sig=None):
         # activity-weighted gap isolates the truly penetrated faces
         w_act = w * jnp.where(jnp.logical_or(g < 0.0, p_n > 0.0), 1.0, 0.0)
         ghat = jnp.sum(w_act * g) / jnp.maximum(jnp.sum(w_act), 1e-30)
-        lam_new = jnp.maximum(0.0, lam_s - pen * ghat)
+        lam_new = jnp.maximum(0.0, lam_s + lscale * law(-ghat))
         return fs, fr, lam_new, t_t, w_s + w_inc
 
     S = slave.shape[0]

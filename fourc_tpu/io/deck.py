@@ -673,6 +673,8 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                         uzawa_max_iter=int(item.get("uzawa_max_iter", 8)),
                         uzawa_tol=float(item.get("uzawa_tol", 1e-8)),
                         wear_coeff=float(item.get("wear_coeff", 0.0)),
+                        law=str(item.get("law", "linear")),
+                        law_params=item.get("law_params"),
                     )
                 )
             else:
