@@ -113,6 +113,260 @@ class ViscoPlasticPerzyna(HistoryMaterial):
         return sig, h_new
 
 
+@register_material("plasticdruckerprager")
+@dataclass
+class PlasticDruckerPrager(HistoryMaterial):
+    """Small-strain Drucker-Prager plasticity with cone + apex return.
+
+    ref: src/mat/4C_mat_plastic_drucker_prager.* (the reference's
+    pressure-sensitive law).  Yield f = sqrt(J2) + eta*p - xi*c(kappa),
+    flow potential g = sqrt(J2) + etabar*p (etabar=eta -> associative),
+    linear cohesion hardening c = c0 + H*kappa.  Return mapping follows
+    de Souza Neto's two-branch scheme (smooth cone return; apex return
+    when the cone update would cross sqrt(J2) < 0), fully branch-free so
+    it vmaps over Gauss points and the consistent tangent is AD.
+
+    history per GP: [eps_p (9), kappa] -> (10,)
+    """
+
+    kind = "solid_small_history"
+    youngs: float
+    nue: float
+    cohesion: float
+    eta: float = 0.5  # pressure (friction) coefficient
+    etabar: float = None  # dilatancy coefficient (default: = eta)
+    xi: float = 1.0  # cohesion coefficient
+    isohard: float = 0.0  # H (linear cohesion hardening)
+    density: float = 0.0
+    history_shape = (10,)
+
+    def evaluate_small(self, eps, h):
+        lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
+        G = self.youngs / (2 * (1 + self.nue))
+        K = lam + 2.0 * G / 3.0
+        eta = self.eta
+        etab = self.eta if self.etabar is None else self.etabar
+        xi, H = self.xi, self.isohard
+
+        eps_p = h[:9].reshape(3, 3)
+        kappa = h[9]
+        eps_e = eps - eps_p
+        sig_tr = lam * jnp.trace(eps_e) * _I3 + 2.0 * G * eps_e
+        p_tr = jnp.trace(sig_tr) / 3.0
+        s_tr = sig_tr - p_tr * _I3
+        # double-where sqrt guard: keeps SECOND-order AD (assembled-tangent
+        # jacfwd) finite at s = 0, where d2 sqrt blows up
+        ss = 0.5 * jnp.sum(s_tr * s_tr)
+        nz = ss > 1e-24
+        sqJ2_tr = jnp.where(nz, jnp.sqrt(jnp.where(nz, ss, 1.0)), 0.0)
+        sqJ2_safe = jnp.where(nz, sqJ2_tr, 1.0)
+
+        c_n = self.cohesion + H * kappa
+        f_tr = sqJ2_tr + eta * p_tr - xi * c_n
+
+        # cone (smooth wall) return
+        dgam = jnp.maximum(f_tr, 0.0) / (G + K * eta * etab + xi**2 * H)
+        sqJ2_c = sqJ2_tr - G * dgam
+        apex = jnp.logical_and(f_tr > 0.0, sqJ2_c < 0.0)
+
+        # apex return: s = 0, solve eta*(p_tr - K*x) = xi*c(kappa + xi/etab*x)
+        x_apex = (eta * p_tr - xi * c_n) / (eta * K + xi**2 * H
+                                            / jnp.maximum(etab, 1e-30))
+        x_apex = jnp.maximum(x_apex, 0.0)
+
+        plastic = f_tr > 0.0
+        scale_s = jnp.where(apex, 0.0,
+                            jnp.where(plastic, sqJ2_c / sqJ2_safe, 1.0))
+        s_new = s_tr * scale_s
+        p_new = jnp.where(apex, p_tr - K * x_apex,
+                          jnp.where(plastic, p_tr - K * etab * dgam, p_tr))
+        dk = jnp.where(apex, xi / jnp.maximum(etab, 1e-30) * x_apex,
+                       jnp.where(plastic, xi * dgam, 0.0))
+        sig = s_new + p_new * _I3
+        # plastic strain from the elastic relation
+        eps_e_new = (sig - p_new * _I3) / (2.0 * G) + p_new / (3.0 * K) * _I3
+        eps_p_new = eps - eps_e_new
+        return sig, jnp.concatenate([eps_p_new.reshape(9), (kappa + dk)[None]])
+
+
+@register_material("plasticlemaitre")
+@dataclass
+class PlasticLemaitre(HistoryMaterial):
+    """Small-strain J2 plasticity coupled to Lemaitre isotropic ductile
+    damage (effective-stress formulation).
+
+    ref capability: src/mat damage family (4C_mat_damage.* — Lemaitre-type
+    isotropic damage with simplified coupling).  Return map runs in the
+    effective space sig/(1-D); damage grows as
+    dD = (Y/S0)^s_exp * dgamma / (1-D), Y = elastic energy release rate.
+
+    history per GP: [eps_p (9), kappa, D] -> (11,)
+    """
+
+    kind = "solid_small_history"
+    youngs: float
+    nue: float
+    yield_stress: float
+    isohard: float = 0.0
+    s0: float = 1.0  # damage energy denominator S
+    s_exp: float = 1.0  # damage exponent
+    d_crit: float = 0.99  # rupture cap
+    density: float = 0.0
+    history_shape = (11,)
+
+    def evaluate_small(self, eps, h):
+        lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
+        G = self.youngs / (2 * (1 + self.nue))
+        eps_p = h[:9].reshape(3, 3)
+        kappa = h[9]
+        D = h[10]
+        omd = jnp.maximum(1.0 - D, 1.0 - self.d_crit)
+
+        eps_e = eps - eps_p
+        sig_eff_tr = lam * jnp.trace(eps_e) * _I3 + 2.0 * G * eps_e
+        s_tr = sig_eff_tr - jnp.trace(sig_eff_tr) / 3.0 * _I3
+        ss = jnp.sum(s_tr * s_tr)
+        nz = ss > 1e-24
+        norm_s = jnp.where(nz, jnp.sqrt(jnp.where(nz, ss, 1.0)), 1e-15)
+        q_tr = jnp.sqrt(1.5) * norm_s
+        sig_y = self.yield_stress + self.isohard * kappa
+        f_tr = q_tr - sig_y
+
+        dgam = jnp.maximum(f_tr, 0.0) / (3.0 * G + self.isohard)
+        n = s_tr / norm_s
+        deps_p = jnp.sqrt(1.5) * dgam * n
+        eps_p_new = eps_p + deps_p
+        sig_eff = sig_eff_tr - 2.0 * G * deps_p
+
+        # energy release rate Y = sig_eff : eps_e_new / 2 (effective space)
+        eps_e_new = eps_e - deps_p
+        Y = 0.5 * jnp.sum(sig_eff * eps_e_new)
+        dD = (jnp.maximum(Y, 0.0) / self.s0) ** self.s_exp * dgam / omd
+        D_new = jnp.minimum(D + dD, self.d_crit)
+
+        sig = (1.0 - D_new) * sig_eff  # nominal stress
+        return sig, jnp.concatenate(
+            [eps_p_new.reshape(9), (kappa + dgam)[None], D_new[None]])
+
+
+@register_material("plasticgtn")
+@dataclass
+class PlasticGTN(HistoryMaterial):
+    """Gurson-Tvergaard-Needleman porous plasticity (small strain).
+
+    ref capability: the reference's GTN-type porous metal plasticity.
+    Yield Phi = (q/sy)^2 + 2 q1 f* cosh(1.5 q2 p / sy) - 1 - q3 f*^2.
+    Return map solves for (deq, dep) — deviatoric and volumetric plastic
+    increments — with a fixed unrolled Newton (8 its, branch-free), then
+    updates void fraction by growth + strain-controlled nucleation.
+
+    history per GP: [eps_p (9), ebar (matrix plastic strain), fvoid] -> (11,)
+    """
+
+    kind = "solid_small_history"
+    youngs: float
+    nue: float
+    yield_stress: float
+    isohard: float = 0.0
+    q1: float = 1.5
+    q2: float = 1.0
+    q3: float = 2.25
+    f0: float = 0.0  # initial void fraction
+    fn: float = 0.0  # nucleation volume fraction
+    en: float = 0.3  # nucleation mean strain
+    sn: float = 0.1  # nucleation std
+    fc: float = 0.15  # coalescence onset
+    ff: float = 0.25  # failure void fraction
+    density: float = 0.0
+    history_shape = (11,)
+
+    def _fstar(self, f):
+        # Tvergaard-Needleman coalescence acceleration
+        fu = 1.0 / self.q1
+        k = (fu - self.fc) / jnp.maximum(self.ff - self.fc, 1e-12)
+        return jnp.where(f > self.fc, self.fc + k * (f - self.fc), f)
+
+    def evaluate_small(self, eps, h):
+        lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
+        G = self.youngs / (2 * (1 + self.nue))
+        K = lam + 2.0 * G / 3.0
+        eps_p = h[:9].reshape(3, 3)
+        ebar = h[9]
+        f = jnp.where(h[10] == 0.0, self.f0, h[10])  # lazily seeded f0
+
+        eps_e = eps - eps_p
+        sig_tr = lam * jnp.trace(eps_e) * _I3 + 2.0 * G * eps_e
+        p_tr = jnp.trace(sig_tr) / 3.0
+        s_tr = sig_tr - p_tr * _I3
+        ss = 1.5 * jnp.sum(s_tr * s_tr)
+        nzq = ss > 1e-24
+        q_tr = jnp.where(nzq, jnp.sqrt(jnp.where(nzq, ss, 1.0)), 1e-15)
+        fs = self._fstar(f)
+
+        def sy(e):
+            return self.yield_stress + self.isohard * e
+
+        def phi(q, p, e, fstar):
+            y = sy(e)
+            arg = jnp.clip(1.5 * self.q2 * p / y, -50.0, 50.0)
+            return (q / y) ** 2 + 2.0 * self.q1 * fstar * jnp.cosh(
+                arg) - 1.0 - self.q3 * fstar**2
+
+        yielding = phi(q_tr, p_tr, ebar, fs) > 0.0
+
+        # unknowns: deq (deviatoric), dep (volumetric) plastic increments.
+        # Unrolled Newton with hard iterate clamps: the loop body always
+        # executes (branch-free vmap), so at non-yielding GPs the iterates
+        # must stay bounded or their NaNs poison the where() mask later.
+        deq_cap = q_tr / (3.0 * G)  # full deviatoric relaxation
+        dep_cap = (jnp.abs(p_tr) + self.yield_stress) / K
+        deq = jnp.asarray(0.0, eps.dtype)
+        dep = jnp.asarray(0.0, eps.dtype)
+        for _ in range(8):
+            q = q_tr - 3.0 * G * deq
+            p = p_tr - K * dep
+            e = ebar + deq  # matrix strain driven by deviatoric flow
+            y = sy(e)
+            arg = jnp.clip(1.5 * self.q2 * p / y, -50.0, 50.0)
+            # residuals: yield condition + flow-direction consistency
+            # dep/deq = dPhi/dp / dPhi/dq (normality)
+            dphi_dq = 2.0 * q / y**2
+            dphi_dp = 3.0 * self.q1 * self.q2 * fs / y * jnp.sinh(arg)
+            r1 = phi(q, p, e, fs)
+            r2 = dep * dphi_dq - deq * dphi_dp
+            # Newton on (deq, dep) with hand-derived 2x2 jacobian (the
+            # hardening term is dropped — picked up by the outer iteration)
+            a11 = -3.0 * G * dphi_dq  # dr1/ddeq
+            a12 = -K * dphi_dp  # dr1/ddep
+            a21 = (-dphi_dp + dep * (-3.0 * G) * 2.0 / y**2)
+            a22 = (dphi_dq + deq * K * 3.0 * self.q1 * self.q2 * fs / y
+                   * jnp.cosh(arg) * 1.5 * self.q2 / y)
+            det = a11 * a22 - a12 * a21
+            det = jnp.where(jnp.abs(det) < 1e-20, -1e-20, det)
+            ddeq = (-r1 * a22 + r2 * a12) / det
+            ddep = (-a11 * r2 + a21 * r1) / det
+            deq = jnp.clip(deq + ddeq, 0.0, deq_cap)
+            dep = jnp.clip(dep + ddep, -dep_cap, dep_cap)
+
+        deq = jnp.where(yielding, deq, 0.0)
+        dep = jnp.where(yielding, dep, 0.0)
+        q = q_tr - 3.0 * G * deq
+        nhat = s_tr / jnp.where(nzq, jnp.sqrt(jnp.where(
+            nzq, jnp.sum(s_tr * s_tr), 1.0)), 1.0)
+        deps_p = jnp.sqrt(1.5) * deq * nhat + dep / 3.0 * _I3
+        eps_p_new = eps_p + deps_p
+        sig = sig_tr - (2.0 * G * jnp.sqrt(1.5) * deq * nhat + K * dep * _I3)
+
+        # void evolution: growth + strain-controlled nucleation (Chu-Needleman)
+        ebar_new = ebar + deq
+        A = self.fn / (self.sn * jnp.sqrt(2.0 * jnp.pi)) * jnp.exp(
+            -0.5 * ((ebar_new - self.en) / self.sn) ** 2)
+        f_new = f + (1.0 - f) * dep + A * deq
+        f_new = jnp.clip(f_new, 0.0, 0.999 / self.q1)
+        return sig, jnp.concatenate(
+            [eps_p_new.reshape(9), ebar_new[None], f_new[None]])
+
+
 def _sqrtm_db(C, iters=7):
     """Denman-Beavers square root (AD-smooth at repeated eigenvalues)."""
     tr = jnp.trace(C) / 3.0
