@@ -597,6 +597,16 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                 )
             elif key == "body_force":
                 f["body_force"].append(BodyForce(val=item["val"], funct=item.get("funct")))
+            elif key == "windkessel_outflow":
+                # lumped RCR outflow impedance (ref: DESIGN SURF IMPEDANCE
+                # CONDITIONS, 4C_fluid_impedancecondition.*)
+                f.setdefault("windkessel", []).append({
+                    "faces": _resolve_faces(disc, item["faces"]),
+                    "r1": float(item.get("r1", 0.0)),
+                    "r2": float(item.get("r2", 1.0)),
+                    "c": float(item.get("c", 1.0)),
+                    "p0": float(item.get("p0", 0.0)),
+                })
             elif key == "meshtying":
                 if "slave_faces" in item:  # non-matching mortar interface
                     f.setdefault("meshtying", []).append(

@@ -31,10 +31,11 @@ from fourc_tpu.physics.newton import NewtonParams, newton_solve
 
 @dataclass
 class FluidParams:
-    dyntype: str = "onesteptheta"  # stationary|onesteptheta|bdf2
+    dyntype: str = "onesteptheta"  # stationary|onesteptheta|bdf2|genalpha
     dt: float = 1.0
     n_steps: int = 1
     theta: float = 0.5
+    rho_inf: float = 0.5  # gen-alpha spectral radius (JWH)
     newton: NewtonParams = field(default_factory=NewtonParams)
     supg: bool = True
     pspg: bool = True
@@ -59,6 +60,7 @@ class FluidField:
         neumann=(),
         body_forces=(),
         functions: FunctionManager | None = None,
+        windkessel=(),
     ):
         self.disc = disc
         self.params = params
@@ -78,6 +80,31 @@ class FluidField:
         self.dbc = DirichletHandler(dirichlet, disc.coords, self.ndpn, self.functions)
         self.body_forces = list(body_forces)
         self.neumann = list(neumann)
+
+        # Windkessel (RCR) outflow impedance conditions (ref:
+        # src/fluid/4C_fluid_impedancecondition.* — 3-element Windkessel
+        # lumped outflow): each condition couples the outflow flux
+        # Q = int_face u.n dA to an applied boundary pressure
+        # p = p_d + R1*Q, with the distal pressure ODE C dp_d/dt =
+        # Q - p_d/R2 discretized backward-Euler INSIDE the Newton
+        # residual, so the flux coupling is implicit and the tangent is
+        # exact via AD.
+        self.windkessel = []
+        for wk in windkessel:
+            from fourc_tpu.core.cells import get_cell
+
+            blocks = []
+            for fb in wk["faces"]:
+                fc = get_cell(fb.cell)
+                conn = jnp.asarray(np.asarray(fb.conn))
+                blocks.append((fc, conn))
+            self.windkessel.append(dict(
+                blocks=blocks,
+                r1=float(wk.get("r1", 0.0)),
+                r2=float(wk.get("r2", 1.0)),
+                c=float(wk.get("c", 1.0)),
+                p0=float(wk.get("p0", 0.0)),
+            ))
 
         self.coords = jnp.asarray(disc.coords)
         self.block_mat = {}
@@ -162,6 +189,57 @@ class FluidField:
             per_block[key] = fe.reshape(fe.shape[0], -1)
         return dm.scatter_add(per_block)
 
+    # -- Windkessel outflow (lumped RCR impedance) -------------------------
+
+    def _wk_flux_and_force(self, cond, x, p_app):
+        """Returns (Q, nodal force residual contribution) for one
+        condition: Q = int u.n dA and r += int N_a p_app n dA (the
+        boundary traction -p n moved to the residual's LHS)."""
+        u = x.reshape(-1, self.ndpn)[:, : self.dim]
+        Q = 0.0
+        contrib = jnp.zeros((self.disc.n_nodes, self.ndpn), x.dtype)
+        for fc, conn in cond["blocks"]:
+            Xf = self.coords[conn]
+            dA, n = gm.surface_measure(Xf, fc.dN)  # (e,g), (e,g,d)
+            w = jnp.asarray(fc.gauss_weights)
+            N = jnp.asarray(fc.N)  # (g, a)
+            ug = jnp.einsum("ga,ead->egd", N, u[conn])
+            Q = Q + jnp.einsum("g,eg,egd,egd->", w, dA, ug, n)
+            fe = jnp.einsum("g,eg,ga,egd->ead", w, dA, N, n) * p_app
+            pad = jnp.zeros(fe.shape[:2] + (1,), fe.dtype)
+            contrib = contrib.at[conn].add(
+                jnp.concatenate([fe, pad], axis=-1))
+        return Q, contrib.reshape(-1)
+
+    def _wk_pressure(self, cond, Q, pd_old, dt):
+        """Backward-Euler distal-pressure update and applied pressure."""
+        if dt is None:  # stationary limit: C dp/dt = 0
+            pd = cond["r2"] * Q
+        else:
+            pd = (pd_old + dt / cond["c"] * Q) / (
+                1.0 + dt / (cond["r2"] * cond["c"]))
+        return pd, pd + cond["r1"] * Q
+
+    def windkessel_residual(self, x, pwk, dt):
+        """Extra residual from all Windkessel conditions (implicit in x)."""
+        r = jnp.zeros((self.ndof,), x.dtype)
+        for i, cond in enumerate(self.windkessel):
+            # flux needs no applied pressure; compute in two passes
+            Q, _ = self._wk_flux_and_force(cond, x, 0.0)
+            _, p_app = self._wk_pressure(cond, Q, pwk[i], dt)
+            _, force = self._wk_flux_and_force(cond, x, p_app)
+            r = r + force
+        return r
+
+    def windkessel_update(self, x, pwk, dt):
+        """Post-solve distal pressure states."""
+        new = []
+        for i, cond in enumerate(self.windkessel):
+            Q, _ = self._wk_flux_and_force(cond, x, 0.0)
+            pd, _ = self._wk_pressure(cond, Q, pwk[i], dt)
+            new.append(pd)
+        return jnp.stack(new)
+
     def build_preconditioner(self, dt_factor=0.0, dt=None):
         """Physics-based Jacobi: velocity diag = mu*grad-grad + rho*mass*fac;
         pressure diag = PSPG tau/rho grad-grad (mask-safe)."""
@@ -208,13 +286,16 @@ def init_state(f: FluidField):
             vals = jnp.concatenate([vals, jnp.zeros((vals.shape[0], pad), dtype)], 1)
         x0 = vals[:, : f.ndpn].reshape(-1)
     x0 = f.dbc.apply(x0, 0.0)
-    return {
+    state = {
         "x": x0,
         "xdot": z,
         "x_nm1": x0,
         "t": jnp.asarray(0.0, dtype),
         "step": jnp.asarray(0),
     }
+    if f.windkessel:
+        state["pwk"] = jnp.asarray([c["p0"] for c in f.windkessel], dtype)
+    return state
 
 
 def make_step(f: FluidField, dt: float | None = None):
@@ -226,6 +307,8 @@ def make_step(f: FluidField, dt: float | None = None):
         raw = _make_ost_step(f, dt)
     elif typ == "bdf2":
         raw = _make_bdf2_step(f, dt)
+    elif typ == "genalpha":
+        raw = _make_genalpha_step(f, dt)
     else:
         raise ValueError(f"unknown FLUID DYNAMICTYPE {typ!r}")
     return jax.jit(raw)
@@ -245,12 +328,17 @@ def _make_stationary_step(f: FluidField, dt: float):
         zero = jnp.zeros_like(state["x"])
 
         def residual(x):
-            return f.residual_transient(x, zero, t1, dt=None)
+            r = f.residual_transient(x, zero, t1, dt=None)
+            if f.windkessel:
+                r = r + f.windkessel_residual(x, state["pwk"], None)
+            return r
 
         x0 = f.dbc.apply(state["x"], t1)
         M = f.build_preconditioner()
         x, stats = newton_solve(residual, x0, f.dbc.free_mask, M, _nonsym(f.params.newton))
         new = dict(state)
+        if f.windkessel:
+            new["pwk"] = f.windkessel_update(x, state["pwk"], None)
         new.update(x=x, x_nm1=state["x"], t=t1, step=state["step"] + 1)
         return new, stats
 
@@ -268,13 +356,18 @@ def _make_ost_step(f: FluidField, dt: float):
             xdot = (x - x_n) / (th * dt) - (1 - th) / th * xdot_n
             # pressure is not a dynamic variable: zero its rate
             xdot = _zero_pressure_rate(f, xdot)
-            return f.residual_transient(x, xdot, t1, dt=dt)
+            r = f.residual_transient(x, xdot, t1, dt=dt)
+            if f.windkessel:
+                r = r + f.windkessel_residual(x, state["pwk"], dt)
+            return r
 
         x0 = f.dbc.apply(x_n, t1)
         M = f.build_preconditioner(dt_factor=1.0 / (th * dt), dt=dt)
         x, stats = newton_solve(residual, x0, f.dbc.free_mask, M, _nonsym(f.params.newton))
         xdot1 = _zero_pressure_rate(f, (x - x_n) / (th * dt) - (1 - th) / th * xdot_n)
         new = dict(state)
+        if f.windkessel:
+            new["pwk"] = f.windkessel_update(x, state["pwk"], dt)
         new.update(x=x, xdot=f.dbc.mask(xdot1), x_nm1=x_n, t=t1, step=state["step"] + 1)
         return new, stats
 
@@ -291,7 +384,10 @@ def _make_bdf2_step(f: FluidField, dt: float):
             xdot_be = (x - x_n) / dt
             xdot_b2 = (3.0 * x - 4.0 * x_n + x_nm1) / (2.0 * dt)
             xdot = _zero_pressure_rate(f, jnp.where(first, xdot_be, xdot_b2))
-            return f.residual_transient(x, xdot, t1, dt=dt)
+            r = f.residual_transient(x, xdot, t1, dt=dt)
+            if f.windkessel:
+                r = r + f.windkessel_residual(x, state["pwk"], dt)
+            return r
 
         x0 = f.dbc.apply(x_n, t1)
         M = f.build_preconditioner(dt_factor=1.5 / dt, dt=dt)
@@ -300,7 +396,54 @@ def _make_bdf2_step(f: FluidField, dt: float):
             f, jnp.where(first, (x - x_n) / dt, (3.0 * x - 4.0 * x_n + x_nm1) / (2.0 * dt))
         )
         new = dict(state)
+        if f.windkessel:
+            new["pwk"] = f.windkessel_update(x, state["pwk"], dt)
         new.update(x=x, xdot=f.dbc.mask(xdot1), x_nm1=x_n, t=t1, step=state["step"] + 1)
+        return new, stats
+
+    return step
+
+
+def _make_genalpha_step(f: FluidField, dt: float):
+    """Generalized-alpha for first-order systems (Jansen-Whiting-Hulbert;
+    ref: 4C_fluid_timint_genalpha.* — the reference's TIMEINTEGR GenAlpha
+    fluid scheme).  rho_inf parameterization:
+      alpha_m = (3 - rho)/(2 (1 + rho)), alpha_f = 1/(1 + rho),
+      gamma = 1/2 + alpha_m - alpha_f.
+    The Newton unknown is x_{n+1}; the residual is evaluated at the
+    intermediate state (x_{n+af}, xdot_{n+am}, t_{n+af})."""
+    rho = f.params.rho_inf
+    am = 0.5 * (3.0 - rho) / (1.0 + rho)
+    af = 1.0 / (1.0 + rho)
+    gam = 0.5 + am - af
+
+    def step(state):
+        t1 = state["t"] + dt
+        t_af = state["t"] + af * dt
+        x_n, xdot_n = state["x"], state["xdot"]
+
+        def rates(x):
+            xdot1 = (x - x_n) / (gam * dt) + (1.0 - 1.0 / gam) * xdot_n
+            return _zero_pressure_rate(f, xdot1)
+
+        def residual(x):
+            xdot1 = rates(x)
+            x_af = (1.0 - af) * x_n + af * x
+            xdot_am = (1.0 - am) * xdot_n + am * xdot1
+            r = f.residual_transient(x_af, xdot_am, t_af, dt=dt)
+            if f.windkessel:
+                r = r + f.windkessel_residual(x, state["pwk"], dt)
+            return r
+
+        x0 = f.dbc.apply(x_n, t1)
+        M = f.build_preconditioner(dt_factor=am / (af * gam * dt), dt=dt)
+        x, stats = newton_solve(residual, x0, f.dbc.free_mask, M,
+                                _nonsym(f.params.newton))
+        new = dict(state)
+        if f.windkessel:
+            new["pwk"] = f.windkessel_update(x, state["pwk"], dt)
+        new.update(x=x, xdot=f.dbc.mask(rates(x)), x_nm1=x_n, t=t1,
+                   step=state["step"] + 1)
         return new, stats
 
     return step

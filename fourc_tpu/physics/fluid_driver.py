@@ -26,6 +26,7 @@ def build_field(deck, disc_name="fluid", extra_dirichlet=()) -> pf.FluidField:
         dt=dyn["timestep"],
         n_steps=dyn["numstep"],
         theta=dyn["theta"],
+        rho_inf=dyn["rho_inf"],
         newton=drv.newton_params_from(dyn, solver, deck.sections.get("io")),
         initial_funct=dyn.get("initialfield_funct", 0),
         smagorinsky_cs=dyn.get("smagorinsky_cs", 0.0) or 0.0,
@@ -47,6 +48,7 @@ def build_field(deck, disc_name="fluid", extra_dirichlet=()) -> pf.FluidField:
         neumann=conds.get("neumann", ()),
         body_forces=conds.get("body_force", ()),
         functions=deck.functions,
+        windkessel=conds.get("windkessel", ()),
     )
 
 
