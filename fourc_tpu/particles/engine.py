@@ -28,44 +28,117 @@ import numpy as np
 
 @dataclass
 class DemParams:
-    """ref: particle_interaction DEM (4C_particle_interaction_dem_contact.*)."""
+    """ref: particle_interaction DEM (4C_particle_interaction_dem_contact.*
+    incl. tangential/rolling contact 4C_particle_interaction_dem_contact
+    tangential + rolling variants and DMT-type adhesion
+    4C_particle_interaction_dem_adhesion.*)."""
 
     k_normal: float = 1e4  # normal spring stiffness
     damp_normal: float = 0.0  # normal dashpot coefficient
+    friction_mu: float = 0.0  # Coulomb sliding friction coefficient
+    k_tangential: float = 0.0  # tangential dashpot (viscous regularization)
+    rolling_mu: float = 0.0  # rolling resistance coefficient
+    adhesion_f0: float = 0.0  # constant pull-off force (DMT-type)
+    adhesion_gap: float = 0.0  # adhesion active for gap < adhesion_gap
     gravity: tuple = (0.0, 0.0, 0.0)
 
+    @property
+    def has_spin(self):
+        return self.friction_mu > 0.0 or self.rolling_mu > 0.0
 
-def dem_forces(x, v, radii, params: DemParams, walls=()):
-    """Pairwise spring-dashpot contact forces: (N, d).
+
+def dem_forces(x, v, radii, params: DemParams, walls=(), omega=None):
+    """Pairwise contact forces (N, d) and torques (N, 3) — spring-dashpot
+    normal contact, Coulomb-capped viscous tangential friction (relative
+    surface velocity incl. spin), rolling resistance, and DMT-type
+    adhesion.
 
     walls: list of (point (d,), normal (d,)) half-spaces (particles stay on
-    the +normal side).
+    the +normal side).  Returns (force, torque); torque is None when spin
+    is inactive (2D or frictionless).
     """
     N, d = x.shape
     diff = x[:, None, :] - x[None, :, :]  # (N, N, d)
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-30)
     rsum = radii[:, None] + radii[None, :]
     overlap = rsum - dist
-    active = (overlap > 0) & ~jnp.eye(N, dtype=bool)
+    eye = jnp.eye(N, dtype=bool)
+    active = (overlap > 0) & ~eye
     n = diff / dist[..., None]
     vrel = v[:, None, :] - v[None, :, :]
     vn = jnp.sum(vrel * n, axis=-1)
-    fmag = jnp.where(active, params.k_normal * overlap - params.damp_normal * vn, 0.0)
-    f = jnp.sum(fmag[..., None] * n, axis=1)
-    return f + _wall_forces(x, v, radii, params, walls)
+    fn = jnp.where(active, params.k_normal * overlap - params.damp_normal * vn, 0.0)
+    fn = jnp.maximum(fn, 0.0)
+    # DMT-type adhesion: constant attraction inside a gap band around touch
+    if params.adhesion_f0:
+        near = (overlap > -params.adhesion_gap) & ~eye
+        fn = fn - jnp.where(near, params.adhesion_f0, 0.0)
+    f = jnp.sum(fn[..., None] * n, axis=1)
+    tau = None
+
+    spin = params.has_spin and d == 3 and omega is not None
+    if spin:
+        # surface velocity at the contact point (branch midpoints)
+        ri = radii[:, None, None] * (-n)
+        rj = radii[None, :, None] * n
+        vsurf = (vrel + jnp.cross(omega[:, None, :], ri)
+                 - jnp.cross(omega[None, :, :], rj))
+        vt = vsurf - jnp.sum(vsurf * n, axis=-1, keepdims=True) * n
+        vtn = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-30)
+        kt = params.k_tangential or params.k_normal * 0.1
+        ft_mag = jnp.minimum(kt * vtn, params.friction_mu * jnp.maximum(fn, 0.0))
+        ft = jnp.where(active[..., None], -ft_mag[..., None] * vt / vtn[..., None], 0.0)
+        f = f + jnp.sum(ft, axis=1)
+        # torque from the tangential force at the contact point
+        tau = jnp.sum(jnp.cross(ri, ft), axis=1)
+        if params.rolling_mu:
+            wrel = omega[:, None, :] - omega[None, :, :]
+            wn = jnp.sqrt(jnp.sum(wrel * wrel, axis=-1) + 1e-30)
+            reff = (radii[:, None] * radii[None, :]) / rsum
+            troll = jnp.where(
+                active[..., None],
+                -params.rolling_mu * (jnp.maximum(fn, 0.0) * reff / wn)[..., None] * wrel,
+                0.0)
+            tau = tau + jnp.sum(troll, axis=1)
+
+    fw, tw = _wall_forces(x, v, radii, params, walls, omega if spin else None)
+    f = f + fw
+    if spin and tw is not None:
+        tau = tau + tw
+    return f, tau
 
 
-def _wall_forces(x, v, radii, params, walls):
+def _wall_forces(x, v, radii, params, walls, omega=None):
     f = jnp.zeros_like(x)
+    tau = jnp.zeros_like(x) if omega is not None else None
     for point, normal in walls:
         nw = jnp.asarray(normal, x.dtype)
         nw = nw / jnp.linalg.norm(nw)
         gap = jnp.einsum("nd,d->n", x - jnp.asarray(point, x.dtype), nw) - radii
         pen = jnp.maximum(-gap, 0.0)
         vn_w = jnp.einsum("nd,d->n", v, nw)
-        fw = params.k_normal * pen - params.damp_normal * jnp.where(pen > 0, vn_w, 0.0)
-        f = f + jnp.maximum(fw, 0.0)[:, None] * nw[None, :]
-    return f
+        fn = params.k_normal * pen - params.damp_normal * jnp.where(pen > 0, vn_w, 0.0)
+        fn = jnp.maximum(fn, 0.0)
+        if params.adhesion_f0:
+            fn = fn - jnp.where(gap < params.adhesion_gap, params.adhesion_f0, 0.0)
+        f = f + fn[:, None] * nw[None, :]
+        if omega is not None and x.shape[1] == 3:
+            rC = -radii[:, None] * nw[None, :]  # center -> contact point
+            vsurf = v + jnp.cross(omega, rC)
+            vt = vsurf - jnp.einsum("nd,d->n", vsurf, nw)[:, None] * nw[None, :]
+            vtn = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + 1e-30)
+            kt = params.k_tangential or params.k_normal * 0.1
+            ftm = jnp.minimum(kt * vtn, params.friction_mu * jnp.maximum(fn, 0.0))
+            ft = -ftm[:, None] * vt / vtn[:, None]
+            active = (pen > 0)[:, None]
+            f = f + jnp.where(active, ft, 0.0)
+            tau = tau + jnp.where(active, jnp.cross(rC, ft), 0.0)
+            if params.rolling_mu:
+                wn = jnp.sqrt(jnp.sum(omega * omega, axis=-1) + 1e-30)
+                troll = -params.rolling_mu * (
+                    jnp.maximum(fn, 0.0) * radii / wn)[:, None] * omega
+                tau = tau + jnp.where(active, troll, 0.0)
+    return f, tau
 
 
 # ---------------------------------------------------------------------------
@@ -101,7 +174,20 @@ class SphParams:
     c0: float = 50.0  # artificial speed of sound
     gamma: float = 7.0  # Tait exponent
     alpha_visc: float = 0.1  # Monaghan artificial viscosity
+    surface_tension: float = 0.0  # pairwise-cohesion coefficient (Akinci)
     gravity: tuple = (0.0, 0.0, 0.0)
+
+
+def cohesion_kernel(r, h):
+    """Akinci-type pairwise cohesion spline C(r) (ref capability:
+    4C_particle_interaction_sph_surface_tension; this is the
+    pairwise-force surface-tension model, which reproduces the same
+    droplet-cohesion behavior as the reference's CSF without needing
+    color-field second derivatives)."""
+    c = 32.0 / (np.pi * h**9)
+    hr3 = (h - r) ** 3 * r**3
+    inner = 2.0 * hr3 - h**6 / 64.0
+    return c * jnp.where(r > h, 0.0, jnp.where(2.0 * r > h, hr3, inner))
 
 
 def sph_density(x, masses, params: SphParams):
@@ -138,6 +224,13 @@ def sph_accel(x, v, masses, params: SphParams):
     coeff = -(masses[None, :]) * (pij + Pi)
     mask = ~jnp.eye(x.shape[0], dtype=bool)
     a = jnp.sum(jnp.where(mask[..., None], coeff[..., None] * gradW, 0.0), axis=1)
+    if params.surface_tension:
+        # pairwise cohesion: f_i = -sigma m_i m_j C(r) r_hat * 2 rho0/(ri+rj)
+        C = cohesion_kernel(r, 2.0 * params.h)  # support = kernel support 2h
+        kfac = 2.0 * params.rho0 / (rho[:, None] + rho[None, :])
+        fst = -params.surface_tension * (
+            masses[None, :] * C * kfac)[..., None] * diff / r[..., None]
+        a = a + jnp.sum(jnp.where(mask[..., None], fst, 0.0), axis=1)
     return a + jnp.asarray(params.gravity, x.dtype)[None, :], rho, p
 
 
@@ -148,27 +241,51 @@ def sph_accel(x, v, masses, params: SphParams):
 
 def make_dem_stepper(params: DemParams, radii, masses, walls=(), n_sub=1):
     g = jnp.asarray(params.gravity)
+    spin = params.has_spin
+    # solid-sphere moment of inertia
+    inertia = 0.4 * masses * radii**2
 
-    def accel(x, v):
-        return dem_forces(x, v, radii, params, walls) / masses[:, None] + g[None, :]
+    def accel(x, v, omega):
+        f, tau = dem_forces(x, v, radii, params, walls,
+                            omega if spin else None)
+        a = f / masses[:, None] + g[None, :]
+        adot = tau / inertia[:, None] if (spin and tau is not None) else None
+        return a, adot
 
     def step(state, dt):
         def body(i, s):
-            x, v, a = s
+            x, v, a, w = s
             v_half = v + 0.5 * dt * a
             x_new = x + dt * v_half
-            a_new = accel(x_new, v_half)
+            a_new, wdot = accel(x_new, v_half, w)
             v_new = v_half + 0.5 * dt * a_new
-            return (x_new, v_new, a_new)
+            w_new = w + dt * wdot if wdot is not None else w
+            return (x_new, v_new, a_new, w_new)
 
-        x, v, a = jax.lax.fori_loop(0, n_sub, body,
-                                    (state["x"], state["v"], state["a"]))
-        return dict(state, x=x, v=v, a=a, t=state["t"] + n_sub * dt)
+        w0 = state.get("omega")
+        if w0 is None:
+            w0 = jnp.zeros((state["x"].shape[0], 3), state["x"].dtype)
+        x, v, a, w = jax.lax.fori_loop(0, n_sub, body,
+                                       (state["x"], state["v"], state["a"], w0))
+        return dict(state, x=x, v=v, a=a, omega=w, t=state["t"] + n_sub * dt)
 
     return jax.jit(step, static_argnums=())
 
 
-def make_sph_stepper(params: SphParams, masses, n_sub=1):
+def make_sph_stepper(params: SphParams, masses, n_sub=1, boundary=None):
+    """boundary: optional (N,) bool mask of STATIC boundary particles (ref:
+    sph boundary particle treatment — they contribute to density/pressure
+    sums but never move; the wall-feeling analog of Adami dummy particles)."""
+    bnd = None if boundary is None else jnp.asarray(boundary, bool)
+
+    def freeze(x_new, v_new, a_new, x_old):
+        if bnd is None:
+            return x_new, v_new, a_new
+        keep = bnd[:, None]
+        return (jnp.where(keep, x_old, x_new),
+                jnp.where(keep, 0.0, v_new),
+                jnp.where(keep, 0.0, a_new))
+
     def step(state, dt):
         def body(i, s):
             x, v, a = s
@@ -176,7 +293,7 @@ def make_sph_stepper(params: SphParams, masses, n_sub=1):
             x_new = x + dt * v_half
             a_new, _, _ = sph_accel(x_new, v_half, masses, params)
             v_new = v_half + 0.5 * dt * a_new
-            return (x_new, v_new, a_new)
+            return freeze(x_new, v_new, a_new, x)
 
         x, v, a = jax.lax.fori_loop(0, n_sub, body,
                                     (state["x"], state["v"], state["a"]))

@@ -114,7 +114,8 @@ def dem_forces_grid(x, v, radii, params, grid: GridHash, walls=()):
         vrel = jnp.sum((v[:, None, :] - vj) * n, axis=-1)
         fn = fn - params.damp_normal * vrel
     f = jnp.sum(jnp.where(active[..., None], fn[..., None] * n, 0.0), axis=1)
-    return f + _wall_forces(x, v, radii, params, walls)
+    fw, _ = _wall_forces(x, v, radii, params, walls)
+    return f + fw
 
 
 def sph_density_grid(x, masses, params, grid: GridHash):

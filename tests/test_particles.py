@@ -90,7 +90,7 @@ def test_gridhash_matches_allpairs_dem():
     grid = gh.GridHash([0, 0, 0], [2, 2, 2], cell_size=0.15, max_per_cell=16)
     assert grid.occupancy_check(x) <= 16
     f_ap = np.asarray(pe.dem_forces(jnp.asarray(x), jnp.asarray(v),
-                                    jnp.asarray(radii), params))
+                                    jnp.asarray(radii), params)[0])
     f_gh = np.asarray(gh.dem_forces_grid(jnp.asarray(x), jnp.asarray(v),
                                          jnp.asarray(radii), params, grid))
     assert np.allclose(f_ap, f_gh, atol=1e-10)
