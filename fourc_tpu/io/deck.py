@@ -176,7 +176,7 @@ DECK_SPEC = {
                          "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
                          "porofluidmultiphase", "loma", "sti", "ssti", "ehl", "fs3i", "fpsi",
-                         "fbi", "levelset"),
+                         "fbi", "levelset", "pasi"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -401,6 +401,7 @@ DECK_SPEC = {
     "conditions": {},
     "result_description": [],
     "cloning": {},  # field cloning map (e.g. thermo from structure), ref: cloning map
+    "particles": {},  # particle field (positions/radii/mass/dem) for pasi
 }
 
 
@@ -597,6 +598,12 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                 )
             elif key == "body_force":
                 f["body_force"].append(BodyForce(val=item["val"], funct=item.get("funct")))
+            elif key == "particle_wall":
+                # particle-wall contact surface (ref: src/particle_wall
+                # DESIGN SURFACE PARTICLE WALL)
+                f.setdefault("particle_wall", []).append({
+                    "faces": _resolve_faces(disc, item["faces"]),
+                })
             elif key == "windkessel_outflow":
                 # lumped RCR outflow impedance (ref: DESIGN SURF IMPEDANCE
                 # CONDITIONS, 4C_fluid_impedancecondition.*)

@@ -146,6 +146,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import ssi_driver
 
         return ssi_driver.run(deck, callbacks=callbacks)
+    if ptype == "pasi":
+        from fourc_tpu.physics import pasi_driver
+
+        return pasi_driver.run(deck, callbacks=callbacks)
     raise NotImplementedError(f"problem type {ptype!r} not implemented yet")
 
 

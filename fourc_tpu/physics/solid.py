@@ -103,6 +103,7 @@ class SolidField:
         springs=(),
         constraints=(),
         functions: FunctionManager | None = None,
+        extra_force_hook: bool = False,
     ):
         self.disc = disc
         self.params = params
@@ -214,6 +215,12 @@ class SolidField:
 
         self.hoister = Hoister()
         self.hoister.register_attr(self, "coords")
+        # optional external nodal-force slot (PASI particle reactions):
+        # hoisted so the driver can refresh it every step without recompile
+        self.pasi_force = None
+        if extra_force_hook:
+            self.pasi_force = jnp.zeros((self.ndof,), self.coords.dtype)
+            self.hoister.register_attr(self, "pasi_force")
         for key in self.block_X:
             self.hoister.register_item(self.block_X, key)
         self.hoister.register_attr(self.dbc, "free_mask")
@@ -384,6 +391,11 @@ class SolidField:
 
         for bf in self.body_forces:
             f = f + self._body_force(bf, t)
+        if self.pasi_force is not None:
+            # externally supplied nodal forces (PASI particle-wall reactions
+            # etc.) — hoisted, so updating f.pasi_force between steps needs
+            # no recompile
+            f = f + self.pasi_force
         return f
 
     def _body_force(self, bf, t):

@@ -15,12 +15,10 @@ from fourc_tpu.physics import solid as ps
 from fourc_tpu.utils.timer import Timers
 
 
-def build_field(deck, disc_name="structure"):
-    disc = deck.disc[disc_name]
+def solid_params_from(deck) -> "ps.SolidParams":
     dyn = deck.sections["structural_dynamic"]
     solver = deck.sections["solver"]
-
-    params = ps.SolidParams(
+    return ps.SolidParams(
         kinem=dyn["kinem"],
         tech=dyn["tech"],
         dyntype=dyn["dynamictype"],
@@ -38,6 +36,12 @@ def build_field(deck, disc_name="structure"):
         predictor=dyn["predict"],
         dtype=deck.problem["dtype"],
     )
+
+
+def build_field(deck, disc_name="structure"):
+    disc = deck.disc[disc_name]
+    dyn = deck.sections["structural_dynamic"]
+    params = solid_params_from(deck)
     materials = {mid: make_material(spec) for mid, spec in deck.materials.items()}
     conds = deck.conditions.get(disc_name, {})
     _beam_kinds = ("beam", "truss", "torsion_spring", "rigidsphere")
