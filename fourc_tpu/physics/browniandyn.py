@@ -82,23 +82,46 @@ def init_state(field_, params: BrownianParams):
     return state
 
 
-def make_step(field_, params: BrownianParams, dt: float):
-    """One implicit Euler-Maruyama step as a jitted function of state."""
+def make_step(field_, params: BrownianParams, dt: float, crosslink=None):
+    """One implicit Euler-Maruyama step as a jitted function of state.
+
+    crosslink: optional CrosslinkParams — enables the crosslinking
+    submodel (coupling/crosslinking.py): binding kinetics BETWEEN steps
+    (bond topology frozen within the Newton solve, like the reference's
+    submodel evaluator), linker spring forces inside the residual."""
     gamma = node_drag(field_, params)
     sigma = jnp.sqrt(2.0 * params.kt * gamma / dt)
+    X = jnp.asarray(field_.disc.coords)
+    ndpn = field_.ndpn
+    if crosslink is not None:
+        from fourc_tpu.coupling import crosslinking as xl
+
+    def spots_of(u):
+        return X + u.reshape(-1, ndpn)[:, :3]
 
     def step(state):
         t1 = state["t"] + dt
-        key, sub = jax.random.split(state["key"])
+        key, sub, kx = jax.random.split(state["key"], 3)
         noise = sigma * jax.random.normal(sub, gamma.shape, gamma.dtype)
         if not params.kt:
             noise = jnp.zeros_like(gamma)
         u_n = state["d"]
 
+        lstate = state.get("linkers")
+        if crosslink is not None:
+            # binding/unbinding kinetics on the CURRENT configuration
+            lstate = xl.kinetics_step(kx, lstate, spots_of(u_n), dt,
+                                      crosslink)
+
         def residual(u):
             drift = gamma * (u - u_n) / dt
-            return (drift + field_.internal_force(u)[0]
-                    - field_.external_force(t1, u) - noise)
+            r = (drift + field_.internal_force(u)[0]
+                 - field_.external_force(t1, u) - noise)
+            if crosslink is not None:
+                # linker springs are internal forces: residual -= F_nodes
+                r = r - xl.link_forces(lstate, spots_of(u), X.shape[0],
+                                       ndpn, crosslink, r.dtype)
+            return r
 
         u0 = field_.dbc.apply(u_n, t1)
         # Jacobi on the dominant drag diagonal Gamma/dt (overdamped: the
@@ -108,15 +131,24 @@ def make_step(field_, params: BrownianParams, dt: float):
                                 field_.params.newton)
         new = dict(state)
         new.update(d=u, t=t1, step=state["step"] + 1, key=key)
+        if crosslink is not None:
+            new["linkers"] = lstate
         return new, stats
 
     return jax.jit(step)
 
 
-def run(field_, params: BrownianParams, dt: float, numstep: int, state=None):
+def run(field_, params: BrownianParams, dt: float, numstep: int, state=None,
+        crosslink=None, linker_box=None):
     """scan the step over numstep; returns (final_state, traj d (n, ndof))."""
     state = state if state is not None else init_state(field_, params)
-    step = make_step(field_, params, dt)
+    if crosslink is not None and "linkers" not in state:
+        from fourc_tpu.coupling import crosslinking as xl
+
+        X = np.asarray(field_.disc.coords)
+        lo, hi = (X.min(0), X.max(0)) if linker_box is None else linker_box
+        state["linkers"] = xl.init_linkers(crosslink, lo, hi)
+    step = make_step(field_, params, dt, crosslink=crosslink)
 
     def body(s, _):
         s2, stats = step(s)
