@@ -36,7 +36,12 @@ def make_law(name: str, params: dict, default_penalty: float):
         coeff = float(p.get("coeff", default_penalty))
 
         def law(delta):
-            return coeff * jnp.maximum(0.0, delta - off)
+            # UNCLAMPED in the signed penetration: the caller's
+            # max(0, lam + law(.)) supplies the contact activity clamp, and
+            # an Uzawa multiplier must unload linearly across delta = 0
+            # (lam - pen*g semantics) — clamping here would freeze a stale
+            # multiplier on separated nodes
+            return coeff * (delta - off)
 
     elif name == "power":
         a = float(p.get("a", default_penalty))
