@@ -598,6 +598,16 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                 )
             elif key == "body_force":
                 f["body_force"].append(BodyForce(val=item["val"], funct=item.get("funct")))
+            elif key == "bts_surface_contact":
+                # beam-to-solid surface contact (ref: geometry_pair
+                # line-to-surface + beaminteraction BTS surface contact)
+                f.setdefault("bts_surface_contact", []).append({
+                    "faces": _resolve_faces(disc, item["faces"]),
+                    "penalty": float(item.get("penalty", 1e4)),
+                    "radius": float(item.get("radius", 0.0)),
+                    "friction_mu": float(item.get("friction_mu", 0.0)),
+                    "candidates": int(item.get("candidates", 4)),
+                })
             elif key == "particle_wall":
                 # particle-wall contact surface (ref: src/particle_wall
                 # DESIGN SURFACE PARTICLE WALL)

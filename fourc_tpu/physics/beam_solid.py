@@ -36,7 +36,8 @@ class _CombinedDbc:
 class BeamSolidField:
     """Solid (hex) + beams (line2) + penalty volume mesh tying."""
 
-    def __init__(self, solid_field, beam_field, penalty=1e4):
+    def __init__(self, solid_field, beam_field, penalty=1e4,
+                 surface_contact=None):
         from fourc_tpu.coupling.beam_solid import BeamSolidCoupling
 
         self.solid = solid_field
@@ -50,11 +51,30 @@ class BeamSolidField:
         self.coords = solid_field.coords
         self.functions = solid_field.functions
         self.dbc = _CombinedDbc(solid_field.dbc, beam_field.dbc, self.n_s)
-        solid_conn = next(iter(solid_field.dofmap.blocks.values())).conn
-        self.tie = BeamSolidCoupling(
-            np.asarray(beam_field.disc.coords),
-            np.asarray(solid_field.disc.coords),
-            np.asarray(solid_conn), penalty=penalty)
+        # beam-to-solid SURFACE contact (ref: src/geometry_pair line-to-
+        # surface + beaminteraction beam-to-solid surface contact): beam
+        # centerline nodes against the solid's deformed surface faces,
+        # unilateral penalty at offset = beam cross-section radius.
+        # Mutually exclusive with volume tying (external vs embedded beams).
+        self.surf = None
+        if surface_contact is not None:
+            from fourc_tpu.particles.wall import ParticleWall
+
+            sc = dict(surface_contact)
+            self.surf = ParticleWall(
+                sc["faces"], np.asarray(solid_field.disc.coords),
+                np.asarray(beam_field.disc.coords),
+                n_candidates=int(sc.get("candidates", 4)))
+            self.surf_pen = float(sc.get("penalty", penalty))
+            self.surf_radius = float(sc.get("radius", 0.0))
+            self.surf_mu = float(sc.get("friction_mu", 0.0))
+            self.tie = None
+        else:
+            solid_conn = next(iter(solid_field.dofmap.blocks.values())).conn
+            self.tie = BeamSolidCoupling(
+                np.asarray(beam_field.disc.coords),
+                np.asarray(solid_field.disc.coords),
+                np.asarray(solid_conn), penalty=penalty)
 
     def split(self, u):
         return u[:self.n_s], u[self.n_s:]
@@ -64,6 +84,23 @@ class BeamSolidField:
         us, ub = self.split(u)
         fs, hist = self.solid.internal_force(us, history=history, dt=dt)
         fb, _ = self.beam.internal_force(ub)
+        if self.surf is not None:
+            xb = (jnp.asarray(self.beam.disc.coords)
+                  + ub.reshape(-1, 6)[:, :3])
+            wall_x = self.coords + us.reshape(-1, 3)
+            zero_v = jnp.zeros_like(xb)
+            radii = jnp.full((xb.shape[0],), self.surf_radius, u.dtype)
+            fp, fw = self.surf.forces(xb, zero_v, radii, wall_x,
+                                      jnp.zeros_like(wall_x),
+                                      self.surf_pen,
+                                      friction_mu=self.surf_mu)
+            # internal-force convention: residual gets MINUS the force
+            fs = fs - fw.reshape(-1)
+            fb6 = jnp.zeros((self.n_b // 6, 6), u.dtype).at[:, :3].set(-fp)
+            k_rot = 1e-6 * self.surf_pen
+            fb6 = fb6.at[:, 3:].add(k_rot * ub.reshape(-1, 6)[:, 3:])
+            fb = fb + fb6.reshape(-1)
+            return jnp.concatenate([fs, fb]), hist
         ft_s, ft_b = self.tie.force(us.reshape(-1, 3),
                                     ub.reshape(-1, 6)[:, :3])
         fs = fs + ft_s.reshape(-1)
@@ -113,8 +150,12 @@ class BeamSolidField:
             per[key] = Kd
         diag = dm.scatter_add(per)
         dn = diag.reshape(-1, 6)
-        dn = dn.at[self.tie.beam_nodes, :3].add(self.tie.k)
-        dn = dn.at[:, 3:].add(1e-6 * self.tie.k)
+        if self.tie is not None:
+            dn = dn.at[self.tie.beam_nodes, :3].add(self.tie.k)
+            dn = dn.at[:, 3:].add(1e-6 * self.tie.k)
+        else:
+            dn = dn.at[:, :3].add(self.surf_pen)
+            dn = dn.at[:, 3:].add(1e-6 * self.surf_pen)
         diag = jnp.where(self.beam.dbc.free_mask,
                          jnp.maximum(dn.reshape(-1), 1e-12), 1.0)
         dinv_b = 1.0 / diag

@@ -138,8 +138,14 @@ def run(deck, callbacks=None) -> drv.RunResult:
                 point_neumann=bconds.get("point_neumann", ()),
                 functions=deck.functions)
             dyn = deck.sections["structural_dynamic"]
+            sconds = deck.conditions.get("structure", {})
+            sc = (sconds.get("bts_surface_contact") or [None])[0]
+            if sc is not None:
+                sc = dict(sc)
+                sc["faces"] = list(sc["faces"])
             f = BeamSolidField(f_solid, f_beam,
-                               penalty=dyn.get("bts_penalty", 1e4) or 1e4)
+                               penalty=dyn.get("bts_penalty", 1e4) or 1e4,
+                               surface_contact=sc)
         else:
             f = build_field(deck)
         if isinstance(f, (pb.BeamField, ShellField, BeamSolidField)):
