@@ -91,9 +91,17 @@ def _span_tables_1d(n_el, p, gp1, U=None):
 
 
 def patch_rectangle(nx, ny, degree=2, lo=(0.0, 0.0), hi=(1.0, 1.0),
-                    name="structure", mat_id=1, gp1=None):
-    """2D B-spline patch -> Discretization (control points as 'nodes',
-    knot spans as elements grouped by basis signature)."""
+                    name="structure", mat_id=1, gp1=None, weights=None,
+                    control_points=None):
+    """2D NURBS patch -> Discretization (control points as 'nodes', knot
+    spans as elements grouped by basis signature).
+
+    weights: optional (nbx*nby,) rational control-point weights (ref:
+    nurbs_discretization ControlPoint weights) — the span basis becomes
+    R_a = w_a N_a / sum_b w_b N_b (tabulated per weight signature, so
+    uniform-weight regions still share one element block).
+    control_points: optional explicit (nbx*nby, 2) control net (replaces
+    the Greville rectangle; used for curved exact geometries)."""
     p = int(degree)
     gp1 = gp1 or (p + 1)
     vx, dx, sx, Ux = _span_tables_1d(nx, p, gp1)
@@ -104,9 +112,14 @@ def patch_rectangle(nx, ny, degree=2, lo=(0.0, 0.0), hi=(1.0, 1.0),
     gy = greville(Uy, p)
     lo = np.asarray(lo, float)
     hi = np.asarray(hi, float)
-    X, Y = np.meshgrid(lo[0] + (hi[0] - lo[0]) * gx,
-                       lo[1] + (hi[1] - lo[1]) * gy, indexing="ij")
-    coords = np.stack([X.reshape(-1), Y.reshape(-1)], axis=1)
+    if control_points is not None:
+        coords = np.asarray(control_points, float).reshape(nbx * nby, 2)
+    else:
+        X, Y = np.meshgrid(lo[0] + (hi[0] - lo[0]) * gx,
+                           lo[1] + (hi[1] - lo[1]) * gy, indexing="ij")
+        coords = np.stack([X.reshape(-1), Y.reshape(-1)], axis=1)
+    wts_cp = None if weights is None else np.asarray(weights, float).reshape(
+        nbx * nby)
 
     def cp(ix, iy):
         return ix * nby + iy
@@ -120,9 +133,12 @@ def patch_rectangle(nx, ny, degree=2, lo=(0.0, 0.0), hi=(1.0, 1.0),
     groups = {}
     for ex in range(nx):
         for ey in range(ny):
-            key = (sx[ex], sy[ey])
             conn = [cp(ex + jx, ey + jy)
                     for jx in range(p + 1) for jy in range(p + 1)]
+            key = (sx[ex], sy[ey])
+            if wts_cp is not None:
+                # rational tables depend on the local weight signature
+                key = key + tuple(np.round(wts_cp[conn], 12))
             groups.setdefault(key, {"conn": [], "ex": ex, "ey": ey})[
                 "conn"].append(conn)
 
@@ -141,6 +157,16 @@ def patch_rectangle(nx, ny, degree=2, lo=(0.0, 0.0), hi=(1.0, 1.0),
                     dN[gg, a, 0] = dx[ex, ga, jx] * vy[ey, gb, jy]
                     dN[gg, a, 1] = vx[ex, ga, jx] * dy[ey, gb, jy]
                     a += 1
+        if wts_cp is not None:
+            # rational (NURBS) basis: R = wN / sum(wN), quotient-rule ders
+            we = wts_cp[np.asarray(grp["conn"][0])]  # (nen,)
+            for gg in range(g):
+                wN = we * N[gg]
+                W = wN.sum()
+                dW = (we[:, None] * dN[gg]).sum(axis=0)  # (2,)
+                dN[gg] = (we[:, None] * dN[gg]) / W \
+                    - np.outer(wN, dW) / W**2
+                N[gg] = wN / W
         cellname = f"nurbs2d_p{p}_{name}_{gi}"
         cell = _cells.CellType(
             name=cellname, dim=2, nen=nen, gauss_points=gpts,
@@ -151,6 +177,7 @@ def patch_rectangle(nx, ny, degree=2, lo=(0.0, 0.0), hi=(1.0, 1.0),
         d.blocks[cellname] = ElementBlock(
             cellname, np.asarray(grp["conn"], np.int32), mat_id)
 
+    d.nurbs_weights = wts_cp
     d.node_sets["xmin"] = np.asarray([cp(0, iy) for iy in range(nby)], np.int32)
     d.node_sets["xmax"] = np.asarray([cp(nbx - 1, iy) for iy in range(nby)], np.int32)
     d.node_sets["ymin"] = np.asarray([cp(ix, 0) for ix in range(nbx)], np.int32)
@@ -158,3 +185,28 @@ def patch_rectangle(nx, ny, degree=2, lo=(0.0, 0.0), hi=(1.0, 1.0),
     d.node_sets["all"] = np.arange(coords.shape[0], dtype=np.int32)
     d.structured_shape = None
     return d
+
+
+def patch_quarter_annulus(r_in=1.0, r_out=2.0, name="structure", mat_id=1,
+                          gp1=None):
+    """EXACT quarter annulus as a single quadratic rational patch.
+
+    The classic NURBS benchmark geometry (ref: nurbs_discretization
+    rational control-point weights): one 90-degree arc span, 3x3 control
+    net, circumferential weights (1, 1/sqrt(2), 1).  A plain B-spline
+    cannot represent the circle; with these weights the mapped geometry
+    is exact to machine precision.
+    """
+    w_arc = np.array([1.0, 1.0 / np.sqrt(2.0), 1.0])
+    r_mid = 0.5 * (r_in + r_out)
+    # radial index i (3 rows), circumferential index j (3 cols)
+    radii = np.array([r_in, r_mid, r_out])
+    ctrl = np.zeros((3, 3, 2))
+    for i, r in enumerate(radii):
+        ctrl[i, 0] = (r, 0.0)
+        ctrl[i, 1] = (r, r)  # arc middle control point (on the tangent)
+        ctrl[i, 2] = (0.0, r)
+    wts = np.ones((3, 3)) * w_arc[None, :]
+    return patch_rectangle(
+        1, 1, degree=2, name=name, mat_id=mat_id, gp1=gp1,
+        control_points=ctrl.reshape(9, 2), weights=wts.reshape(9))

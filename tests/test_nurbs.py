@@ -62,3 +62,65 @@ conditions:
         x_g = np.einsum("ga,ea->eg", c.N, X[conn][:, :, 0])
         err = max(err, np.abs(u_g - x_g**2).max())
     assert err < 1e-8, err
+
+
+def test_rational_quarter_annulus_exact_geometry():
+    """Rational weights (1, 1/sqrt2, 1) represent the circle EXACTLY: the
+    mapped radius is constant along the arc at machine precision — a plain
+    B-spline cannot do this (ref: nurbs_discretization control-point
+    weights)."""
+    import numpy as np
+
+    from fourc_tpu.core import cells as _cells
+    from fourc_tpu.core.nurbs import patch_quarter_annulus
+
+    r_in, r_out = 1.0, 2.0
+    d = patch_quarter_annulus(r_in, r_out, gp1=4)
+    (key, blk), = d.blocks.items()
+    cell = _cells.get_cell(key)
+    P = np.asarray(d.coords)[np.asarray(blk.conn[0])]  # (nen, 2)
+    X = np.asarray(cell.N) @ P  # (g, 2) mapped Gauss points
+    r = np.linalg.norm(X, axis=1).reshape(4, 4)  # (radial g, arc g)
+    # constant radius along the arc direction, machine exact
+    assert np.abs(r - r[:, :1]).max() < 1e-13
+    assert r.min() > r_in and r.max() < r_out
+    # area via the tabulated derivatives (quadrature of a rational map:
+    # tight but not machine-exact)
+    dN = np.asarray(cell.dN)  # (g, nen, 2)
+    J = np.einsum("gak,ad->gkd", dN, P)
+    detJ = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
+    area = float(np.asarray(cell.gauss_weights) @ np.abs(detJ))
+    exact = 0.25 * np.pi * (r_out**2 - r_in**2)
+    assert abs(area - exact) / exact < 2e-4, (area, exact)
+
+
+def test_rational_patch_poisson_runs():
+    """Scalar diffusion on the exact annulus solves and honors Dirichlet
+    data (1 on the inner arc, 0 on the outer): the analytic solution is
+    log(r_out/r)/log(r_out/r_in); the single-element patch reproduces the
+    boundary values and the monotone radial profile."""
+    import numpy as np
+
+    from fourc_tpu.core.conditions import DirichletBC
+    from fourc_tpu.core.nurbs import patch_quarter_annulus
+    from fourc_tpu.materials import make_material
+    from fourc_tpu.physics import scalar_transport as st
+
+    d = patch_quarter_annulus(1.0, 2.0, gp1=4)
+    mat = make_material({"type": "scatra", "diffusivity": 1.0})
+    params = st.ScalarParams(dyntype="stationary")
+    params.newton.tol_res = 1e-12
+    # xmin/xmax of the control net = radial min/max rows
+    dbc = [DirichletBC(d.node_sets["xmin"], [1], [1.0]),
+           DirichletBC(d.node_sets["xmax"], [1], [0.0])]
+    f = st.ScalarField(d, {1: mat}, params, dirichlet=dbc)
+    state = st.init_state(f)
+    step = st.make_step(f, dt=1.0)
+    state, stats = step(state)
+    phi = np.asarray(state["phi"])
+    assert np.all(np.isfinite(phi))
+    # control values: inner row 1, outer row 0, middle row in between
+    assert np.allclose(phi[np.asarray(d.node_sets["xmin"])], 1.0, atol=1e-10)
+    assert np.allclose(phi[np.asarray(d.node_sets["xmax"])], 0.0, atol=1e-10)
+    mid = phi[3:6]
+    assert np.all((mid > 0.1) & (mid < 0.9))
