@@ -44,15 +44,48 @@ class AirwayResistive(Material):
         return 8.0 * self.viscosity * length / (np.pi * self.radius**4)
 
 
+@register_material("air_pedley")
+class AirwayPedley(Material):
+    """Flow-dependent (Pedley) airway resistance (ref: reduced_lung
+    AirwayType non-linear resistance / red_airways Pedley law):
+    R(Q) = max(1, gamma * sqrt(Re * 2r/L)) * R_poiseuille with
+    Re = 2 rho |Q| / (pi r mu) — entrance-flow losses in the upper
+    airways.  Solved with in-jit Picard iterations on the conductances."""
+
+    kind = "airway_pedley"
+
+    def __init__(self, radius, viscosity=1.8e-5, density=1.2, gamma=0.327):
+        self.radius = float(radius)
+        self.viscosity = float(viscosity)
+        self.density = float(density)
+        self.gamma = float(gamma)
+
+    @classmethod
+    def from_deck(cls, params):
+        return cls(**params)
+
+    def resistance(self, length):  # Poiseuille base value
+        return 8.0 * self.viscosity * length / (np.pi * self.radius**4)
+
+
 @register_material("maxwell_0d_acinus")
 class Acinus(Material):
-    """Terminal RC acinus (ref: MAT_0D_MAXWELL_ACINUS_*)."""
+    """Terminal acinus (ref: MAT_0D_MAXWELL_ACINUS_* family).
+
+    compliance > 0, stiffness == 0: RC unit (C dP/dt charge balance).
+    stiffness E > 0: viscoelastic (Kelvin-Voigt) terminal unit
+      P_alv = E V + eta dV/dt (ref: reduced_lung TerminalUnitType
+      viscoelastic_RLC) with the acinar volume V as internal state.
+    """
 
     kind = "acinus"
 
-    def __init__(self, compliance, resistance=0.0):
+    def __init__(self, compliance=0.0, resistance=0.0, stiffness=0.0,
+                 eta=0.0):
         self.compliance = float(compliance)
         self.r_a = float(resistance)
+        self.stiffness = float(stiffness)
+        self.eta = float(eta)
 
     @classmethod
     def from_deck(cls, params):
@@ -73,44 +106,63 @@ def run(deck, callbacks=None) -> drv.RunResult:
 
         # split line2 elements into airways and acini by material kind
         aw_edges, aw_g = [], []
+        aw_pedley = []  # (gamma * sqrt(2 rho /(pi r mu) * 2r/L), 0 = linear)
         ac_node, ac_C, ac_R = [], [], []
+        ac_E, ac_eta = [], []
         for key, blk in disc.blocks.items():
             conn = np.asarray(blk.conn)
             mat_id = np.asarray(blk.mat_id)
             L = np.linalg.norm(coords[conn[:, 1]] - coords[conn[:, 0]], axis=1)
             for e in range(conn.shape[0]):
                 m = mats[int(mat_id[e])]
-                if m.kind == "airway":
+                if m.kind in ("airway", "airway_pedley"):
                     aw_edges.append(conn[e])
                     aw_g.append(1.0 / m.resistance(L[e]))
+                    if m.kind == "airway_pedley":
+                        # R(Q) = gamma sqrt(Re 2r/L) R_p; Re = 2 rho|Q|/(pi r mu)
+                        aw_pedley.append(m.gamma * np.sqrt(
+                            4.0 * m.density * m.radius
+                            / (np.pi * m.radius * m.viscosity * L[e])))
+                    else:
+                        aw_pedley.append(0.0)
                 else:  # acinus: attaches the alveolar node conn[e,1]
                     ac_node.append(conn[e])
                     ac_C.append(m.compliance)
                     ac_R.append(m.r_a)
+                    ac_E.append(m.stiffness)
+                    ac_eta.append(m.eta)
         aw_edges = jnp.asarray(np.array(aw_edges, np.int32))
         aw_g = jnp.asarray(np.array(aw_g))
+        aw_pedley = jnp.asarray(np.array(aw_pedley))
+        has_pedley = bool(np.any(np.array(aw_pedley) > 0))
         ac_node = jnp.asarray(np.array(ac_node, np.int32))  # (na, 2)
         ac_C = jnp.asarray(np.array(ac_C))
         ac_R = jnp.asarray(np.array(ac_R))
+        ac_E = jnp.asarray(np.array(ac_E))
+        ac_eta = jnp.asarray(np.array(ac_eta))
+        ve = jnp.asarray(np.array(ac_E) > 0)  # viscoelastic terminal units
         # acinus branch conductance: series R_a with the C/dt "resistance"
         trachea = int(np.asarray(disc.node_sets["start"])[0])
         p_fn = deck.functions.get(int(dyn["p_in_funct"]))
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     P = jnp.zeros((n,), dtype)
-    state = {"P": P, "t": jnp.asarray(0.0, dtype), "step": jnp.asarray(0)}
+    state = {"P": P, "V": jnp.zeros(ac_node.shape[:1], dtype),
+             "t": jnp.asarray(0.0, dtype), "step": jnp.asarray(0)}
     free = jnp.ones((n,), bool).at[trachea].set(False)
 
-    def laplacian(p, g_ac):
+    def laplacian(p, g_ac, g_aw):
         """Weighted graph Laplacian action (airways + acinar branches)."""
         dp = p[aw_edges[:, 0]] - p[aw_edges[:, 1]]
         y = jnp.zeros_like(p)
-        y = y.at[aw_edges[:, 0]].add(aw_g * dp)
-        y = y.at[aw_edges[:, 1]].add(-aw_g * dp)
+        y = y.at[aw_edges[:, 0]].add(g_aw * dp)
+        y = y.at[aw_edges[:, 1]].add(-g_aw * dp)
         dpa = p[ac_node[:, 0]] - p[ac_node[:, 1]]
         y = y.at[ac_node[:, 0]].add(g_ac * dpa)
         y = y.at[ac_node[:, 1]].add(-g_ac * dpa)
         return y
+
+    n_picard = 4 if has_pedley else 1
 
     @jax.jit
     def step(state):
@@ -118,29 +170,48 @@ def run(deck, callbacks=None) -> drv.RunResult:
 
         t1 = state["t"] + dt
         P0 = state["P"]
+        V0 = state["V"]
         # backward Euler on the acinar charge: the alveolar node behaves as
         # a grounded capacitor through R_a: effective branch conductance
         # g = 1/(R_a + dt/C)... but keeping P_alv as a dof, the capacitor
         # contributes C/dt on its diagonal and C/dt * P0 on the rhs.
+        # Viscoelastic (Kelvin) units instead contribute g_kv = 1/(E dt +
+        # eta) on the diagonal and g_kv * E * V0 on the rhs (BE on
+        # P_alv = E V + eta dV/dt with V as internal state).
         g_ac = jnp.where(ac_R > 0, 1.0 / ac_R, 1e8)
-        cdiag = jnp.zeros((n,), P0.dtype).at[ac_node[:, 1]].add(ac_C / dt)
-        rhs = jnp.zeros((n,), P0.dtype).at[ac_node[:, 1]].add(
-            ac_C / dt * P0[ac_node[:, 1]])
+        g_kv = 1.0 / jnp.maximum(ac_E * dt + ac_eta, 1e-30)
+        dcoef = jnp.where(ve, g_kv, ac_C / dt)
+        rcoef = jnp.where(ve, g_kv * ac_E * V0,
+                          ac_C / dt * P0[ac_node[:, 1]])
+        cdiag = jnp.zeros((n,), P0.dtype).at[ac_node[:, 1]].add(dcoef)
+        rhs = jnp.zeros((n,), P0.dtype).at[ac_node[:, 1]].add(rcoef)
         p_in = p_fn(jnp.zeros((3,), dtype), t1, component=0)
-
-        def A(p):
-            pm = jnp.where(free, p, 0.0)
-            y = laplacian(pm, g_ac) + cdiag * pm
-            return jnp.where(free, y, p)
-
-        # move the Dirichlet column to the rhs
         pbc = jnp.zeros((n,), dtype).at[trachea].set(p_in)
-        b = jnp.where(free, rhs - laplacian(pbc, g_ac), p_in)
-        res = ls.cg(A, b, tol=1e-12, maxiter=1000)
-        P1 = jnp.where(free, res.x, p_in)
+
+        def solve(g_aw, P_guess):
+            def A(p):
+                pm = jnp.where(free, p, 0.0)
+                y = laplacian(pm, g_ac, g_aw) + cdiag * pm
+                return jnp.where(free, y, p)
+
+            b = jnp.where(free, rhs - laplacian(pbc, g_ac, g_aw), p_in)
+            res = ls.cg(A, b, tol=1e-12, maxiter=1000, x0=P_guess)
+            return jnp.where(free, res.x, p_in), res
+
+        # Picard on the Pedley flow-dependent resistances (linear case:
+        # one pass, g_aw = aw_g)
+        P1, res = solve(aw_g, P0)
+        for _ in range(n_picard - 1):
+            Q = aw_g * (P1[aw_edges[:, 0]] - P1[aw_edges[:, 1]])
+            fac = jnp.maximum(1.0, aw_pedley * jnp.sqrt(jnp.abs(Q) + 1e-30))
+            P1, res = solve(aw_g / fac, P1)
+
+        # viscoelastic internal volume update: Q_in = g_kv (P_alv - E V0)
+        P_alv = P1[ac_node[:, 1]]
+        V1 = jnp.where(ve, V0 + dt * g_kv * (P_alv - ac_E * V0), V0)
         new = dict(state)
-        new.update(P=P1, t=t1, step=state["step"] + 1)
-        stats = {"iters": jnp.asarray(1), "lin_iters": res.iters,
+        new.update(P=P1, V=V1, t=t1, step=state["step"] + 1)
+        stats = {"iters": jnp.asarray(n_picard), "lin_iters": res.iters,
                  "resnorm": res.resnorm, "converged": res.converged}
         return new, stats
 
