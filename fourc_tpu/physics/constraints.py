@@ -24,12 +24,20 @@ class VolumeConstraint:
     faces: list[FaceBlock] (outward-oriented quad4/tri3).
     """
 
-    def __init__(self, faces, coords, ndpn, penalty, funct_id, functions):
+    def __init__(self, faces, coords, ndpn, penalty, funct_id, functions,
+                 enforcement="penalty"):
         from fourc_tpu.core.cells import get_cell
 
         self.ndpn = ndpn
         self.k = float(penalty)
         self.fn = functions.get(int(funct_id)) if funct_id else None
+        # Lagrange enforcement (ref: the reference's ConstraintSolver
+        # Uzawa/augmented strategies, 4C_constraint_solver.*): the
+        # multiplier buffer is HOISTED into the jitted step, and the
+        # driver's outer Uzawa loop updates it until |V - V_target| < tol
+        # — exact enforcement without penalty-scale stiffness
+        self.enforcement = str(enforcement)
+        self.lam_buf = jnp.zeros(())
         self._faces = []
         for fb in faces:
             fc = get_cell(fb.cell)
@@ -51,30 +59,41 @@ class VolumeConstraint:
             V = V + jnp.einsum("g,eg,egd,egd->", w, dA, xg, nrm) / 3.0
         return V
 
-    def force(self, u, t):
-        """Penalty force k (V - V_target) dV/du (enters like -f_ext)."""
+    def error(self, u, t):
         target = self.V0 * (self.fn(jnp.zeros((3,), u.dtype), t, component=0)
                             if self.fn is not None else 1.0)
-        e = self.volume(u) - target
+        return self.volume(u) - target
+
+    def force(self, u, t):
+        """Constraint force (lam + k e) dV/du — penalty mode has lam = 0
+        (enters like -f_ext)."""
+        e = self.error(u, t)
         g = jax.grad(self.volume)(u)
-        return self.k * e * g
+        lam = self.lam_buf if self.enforcement == "lagrange" else 0.0
+        return (lam + self.k * e) * g
 
 
 class MultiPointConstraint:
     """Penalty MPC: sum_i c_i u[node_i, comp_i] = amplitude * funct(t)."""
 
     def __init__(self, nodes, comps, coeffs, ndpn, penalty, amplitude,
-                 funct_id, functions):
+                 funct_id, functions, enforcement="penalty"):
         self.dofs = jnp.asarray(np.asarray(nodes, np.int64) * ndpn
                                 + np.asarray(comps, np.int64))
         self.c = jnp.asarray(np.asarray(coeffs, float))
         self.k = float(penalty)
         self.amp = float(amplitude)
         self.fn = functions.get(int(funct_id)) if funct_id else None
+        self.enforcement = str(enforcement)
+        self.lam_buf = jnp.zeros(())
 
-    def force(self, u, t):
+    def error(self, u, t):
         g = self.amp * (self.fn(jnp.zeros((3,), u.dtype), t, component=0)
                         if self.fn is not None else 1.0)
-        e = jnp.sum(self.c * u[self.dofs]) - g
+        return jnp.sum(self.c * u[self.dofs]) - g
+
+    def force(self, u, t):
+        e = self.error(u, t)
+        lam = self.lam_buf if self.enforcement == "lagrange" else 0.0
         f = jnp.zeros_like(u)
-        return f.at[self.dofs].add(self.k * e * self.c)
+        return f.at[self.dofs].add((lam + self.k * e) * self.c)

@@ -221,6 +221,11 @@ class SolidField:
         if extra_force_hook:
             self.pasi_force = jnp.zeros((self.ndof,), self.coords.dtype)
             self.hoister.register_attr(self, "pasi_force")
+        # Lagrange-enforced global constraints: hoist the multiplier
+        # buffers so the driver's Uzawa updates need no recompile
+        for con in self.constraints:
+            if getattr(con, "enforcement", "penalty") == "lagrange":
+                self.hoister.register_attr(con, "lam_buf")
         for key in self.block_X:
             self.hoister.register_item(self.block_X, key)
         self.hoister.register_attr(self.dbc, "free_mask")

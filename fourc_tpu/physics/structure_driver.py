@@ -96,7 +96,8 @@ def _build_constraints(items, disc, functions):
         if kind == "volume":
             out.append(VolumeConstraint(
                 it["faces"], disc.coords, disc.dim,
-                it.get("penalty", 1e6), it.get("funct", 0), functions))
+                it.get("penalty", 1e6), it.get("funct", 0), functions,
+                enforcement=it.get("enforcement", "penalty")))
         elif kind == "inclined_support":
             # locsys analog (ref: core/fem condition locsys — rotated
             # boundary frames): u . n = 0 per node, penalty-enforced
@@ -111,7 +112,8 @@ def _build_constraints(items, disc, functions):
             out.append(MultiPointConstraint(
                 it["nodes"], it["comps"], it["coeffs"], disc.dim,
                 it.get("penalty", 1e6), it.get("amplitude", 0.0),
-                it.get("funct", 0), functions))
+                it.get("funct", 0), functions,
+                enforcement=it.get("enforcement", "penalty")))
         else:
             raise ValueError(f"unknown constraint kind {kind!r}")
     return out
@@ -154,6 +156,33 @@ def run(deck, callbacks=None) -> drv.RunResult:
         else:
             state = ps.compute_initial_state(f, ps.init_state(f))
             mkstep = lambda dt: ps.make_step(f, dt)  # noqa: E731
+            lag_cons = [c for c in getattr(f, "constraints", [])
+                        if getattr(c, "enforcement", "") == "lagrange"]
+            if lag_cons:
+                # Uzawa augmented-Lagrangian outer loop (ref: the
+                # reference's ConstraintSolver Uzawa strategy,
+                # 4C_constraint_solver.*): multiplier buffers are hoisted,
+                # so the re-solves reuse the compiled step
+                import jax.numpy as _jnp
+
+                def mkstep(dt, _mk=ps.make_step):  # noqa: F811
+                    raw = _mk(f, dt)
+
+                    def uzawa_step(state0):
+                        st, stats = raw(state0)
+                        for _ in range(12):
+                            t1 = float(st["t"])
+                            errs = [float(c.error(st["d"], t1))
+                                    for c in lag_cons]
+                            if max(abs(e) for e in errs) < 1e-8:
+                                break
+                            for c, e in zip(lag_cons, errs):
+                                c.lam_buf = c.lam_buf + _jnp.asarray(
+                                    c.k * e)
+                            st, stats = raw(state0)
+                        return st, stats
+
+                    return uzawa_step
     dyn = deck.sections["structural_dynamic"]
     n_steps = dyn["numstep"]
     if dyn["maxtime"] is not None:

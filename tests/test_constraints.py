@@ -103,3 +103,48 @@ conditions:
     ut = d[zmin] @ np.array([1.0, 0.0, -1.0]) / np.sqrt(2.0)
     assert np.abs(un).max() < 1e-6  # no penetration of the plane
     assert np.abs(ut).max() > 1e-4  # but it slides tangentially
+
+
+def test_volume_constraint_lagrange_exact():
+    """Lagrange (Uzawa AL) enforcement drives the volume error to the
+    Uzawa tolerance — orders tighter than the pure penalty result at the
+    same modest penalty (ref: ConstraintSolver Uzawa strategy)."""
+    import numpy as np
+
+    from fourc_tpu.io import deck as dm
+    from fourc_tpu.physics import driver
+
+    def deck(enforcement, pen):
+        return dm.load(f"""
+problem: {{type: structure}}
+structural_dynamic: {{dynamictype: statics, kinem: nonlinear, numstep: 2,
+                     timestep: 0.5, maxiter: 30, tolres: 1e-10,
+                     toldisp: 1e-12, normcombi: or}}
+solver: {{method: direct}}
+functions:
+  1: "1.0 - 0.1*t"
+materials:
+  1: {{type: neohooke, youngs: 100.0, nue: 0.3}}
+geometry:
+  generator: {{kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1}}
+conditions:
+  dirichlet:
+    - {{nodes: zmin, onoff: [1,1,1], val: [0,0,0]}}
+  constraint:
+    - {{kind: volume, faces: xmax, penalty: {pen}, funct: 1,
+        enforcement: {enforcement}}}
+""")
+
+    def vol_error(res):
+        f = res.fields["structure"].f
+        con = f.constraints[0]
+        import jax.numpy as jnp
+
+        d = res.states["structure"]["d"]
+        target = 0.9 * con.V0  # funct(1.0) = 0.9
+        return abs(float(con.volume(jnp.asarray(d))) - target) / con.V0
+
+    e_pen = vol_error(driver.run(deck("penalty", 2e3)))
+    e_lag = vol_error(driver.run(deck("lagrange", 2e3)))
+    assert e_lag < 1e-7, e_lag
+    assert e_lag < e_pen / 50.0, (e_lag, e_pen)
