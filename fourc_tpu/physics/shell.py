@@ -8,6 +8,7 @@ physics/beam.py and physics/solid.py apply unchanged.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -114,3 +115,104 @@ class ShellField:
         diag = self.dofmap.scatter_add(per_block)
         diag = jnp.where(self.dbc.free_mask, jnp.maximum(diag, 1e-30), 1.0)
         return jacobi(diag)
+
+
+class KLShellField:
+    """Rotation-free Kirchhoff-Love NURBS shell: 3 dofs per control point.
+
+    ref: src/shell_kl_nurbs (4C_shell_kl_nurbs.*).  internal_force =
+    jax.grad of the batched KL energy (ops/klshell.py); tangent = jvp.
+    C1 inter-element continuity comes from the spline basis, so no
+    rotational dofs are needed (Kiendl's isogeometric KL shell).
+    """
+
+    def __init__(self, patch, material, params, dirichlet=(),
+                 point_neumann=(), functions=None):
+        from fourc_tpu.ops import klshell as kls
+
+        self.patch = patch
+        self.params = params
+        self.functions = functions or FunctionManager()
+        self.ndpn = 3
+        self.n_nodes = patch["coords"].shape[0]
+        self.ndof = 3 * self.n_nodes
+        self.coords = jnp.asarray(patch["coords"])
+
+        class _D:  # minimal Discretization view for callbacks/queries
+            pass
+
+        self.disc = _D()
+        self.disc.coords = patch["coords"]
+        self.disc.node_sets = patch["node_sets"]
+        self.disc.n_nodes = self.n_nodes
+        self.disc.dim = 3
+        self.dbc = DirichletHandler(list(dirichlet), patch["coords"], 3,
+                                    self.functions)
+        self.point_neumann = list(point_neumann)
+        E = float(material["youngs"])
+        nu = float(material["nue"])
+        t = float(material["thickness"])
+        self.rho_t = float(material.get("density", 1.0)) * t
+
+        def energy(u):
+            x = self.coords + u.reshape(-1, 3)
+            return kls.kl_energy(patch, x, E, nu, t)
+
+        self._force = jax.grad(energy)
+
+    def internal_force(self, u, history=None, dt=None, temps=None,
+                       cstate=None, u_old=None):
+        return self._force(u), None
+
+    def external_force(self, t, u=None):
+        f = jnp.zeros((self.ndof,), self.coords.dtype)
+        for pb in self.point_neumann:
+            xyz = self.coords[jnp.asarray(pb.nodes)]
+            for k in range(min(3, len(pb.onoff))):
+                if pb.onoff[k]:
+                    fn = self.functions.get(pb.funct[k])
+                    vals = pb.val[k] * fn(xyz, t, component=0)
+                    f = f.at[jnp.asarray(pb.nodes) * 3 + k].add(vals)
+        return f
+
+    def lumped_mass(self):
+        # control-point lumping by tributary reference area
+        w = jnp.asarray(self.patch["w"])
+        N = jnp.asarray(self.patch["N"])
+        conn = jnp.asarray(self.patch["conn"])
+        dN = jnp.asarray(self.patch["dN"])
+        xe = self.coords[conn]
+        aa = jnp.einsum("egak,ead->egkd", dN, xe)
+        jdet = jnp.linalg.norm(jnp.cross(aa[..., 0, :], aa[..., 1, :]),
+                               axis=-1)
+        m_e = jnp.einsum("eg,eg,ega->ea", w, jdet, N) * self.rho_t
+        m = jnp.zeros((self.n_nodes,)).at[conn].add(m_e)
+        return jnp.repeat(jnp.maximum(m, 1e-12), 3)
+
+    def mass_matvec(self, v):
+        if not hasattr(self, "_ml"):
+            self._ml = self.lumped_mass()
+        return self._ml * v
+
+    def _residual_xform(self, residual_fn):
+        return residual_fn, lambda u: u
+
+    def build_preconditioner(self, u=None, history=None, dt=None,
+                             mass_shift=0.0):
+        from fourc_tpu.linalg.precond import jacobi
+
+        # AD diagonal of the tangent via Hutchinson-free exact probes is
+        # overkill here; Jacobi on a fixed scale works for the modest
+        # patch sizes this field targets
+        u0 = jnp.zeros((self.ndof,)) if u is None else u
+        diag = jnp.zeros((self.ndof,))
+        # 3 probes (one per component direction pattern)
+        for k in range(3):
+            p = jnp.zeros((self.n_nodes, 3)).at[:, k].set(1.0).reshape(-1)
+            _, jv = jax.jvp(lambda x: self._force(x), (u0,), (p,))
+            diag = diag + p * jv
+        diag = jnp.where(self.dbc.free_mask,
+                         jnp.maximum(jnp.abs(diag), 1e-10)
+                         + mass_shift * self.lumped_mass(), 1.0)
+        dinv = 1.0 / diag
+        return lambda r: dinv * r
