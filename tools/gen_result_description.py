@@ -40,9 +40,20 @@ def field_nodes(res, name):
 
 
 def main(paths):
+    append = False
+    if paths and paths[0] == "--append":
+        append = True
+        paths = paths[1:]
     for path in paths:
         deck = dm.load(path)
-        res = driver.run(deck)
+        if append and deck.result_tests:
+            print(f"# {path}: already has result_description, skipping")
+            continue
+        try:
+            res = driver.run(deck)
+        except Exception as exc:  # noqa: BLE001 — keep the batch going
+            print(f"# {path}: FAILED ({exc})")
+            continue
         lines = []
         for name in res.fields:
             n = field_nodes(res, name)
@@ -62,10 +73,12 @@ def main(paths):
                 lines.append(
                     f"  - {{field: {name}, node: {idx}, quantity: {q}, "
                     f"value: {v:.14e}, tolerance: {tol:.1e}}}")
+        block = "result_description:\n" + "\n".join(lines) + "\n"
         print(f"# {path}")
-        print("result_description:")
-        print("\n".join(lines))
-        print()
+        print(block)
+        if append and lines:
+            with open(path, "a") as fh:
+                fh.write(block)
 
 
 if __name__ == "__main__":
