@@ -187,7 +187,41 @@ class FluidField:
             )
             fe = jnp.concatenate([f_mom, f_cont[..., None]], axis=-1)
             per_block[key] = fe.reshape(fe.shape[0], -1)
-        return dm.scatter_add(per_block)
+        r = dm.scatter_add(per_block)
+        if self.neumann:
+            r = r - self.external_traction(t)
+        return r
+
+    def external_traction(self, t):
+        """Neumann surface tractions on the velocity dofs (ref: fluid
+        NEUMANN conditions — prescribed boundary traction h = sigma.n;
+        4C_fluid_ele_boundary_calc evaluate_neumann)."""
+        from fourc_tpu.core.cells import get_cell
+
+        f = jnp.zeros((self.disc.n_nodes, self.ndpn), self.coords.dtype)
+        for nb in self.neumann:
+            for fb in nb.faces:
+                fc = get_cell(fb.cell)
+                conn = jnp.asarray(np.asarray(fb.conn))
+                Xf = self.coords[conn]
+                dA, _ = gm.surface_measure(Xf, fc.dN)  # (e, g)
+                w = jnp.asarray(fc.gauss_weights)
+                N = jnp.asarray(fc.N)  # (g, a)
+                xg = gm.interp_field(Xf, fc.N)
+                comps = []
+                for k in range(self.dim):
+                    if k < len(nb.onoff) and nb.onoff[k]:
+                        fn = self.functions.get(nb.funct[k])
+                        comps.append(
+                            nb.val[k] * fn(xg, t, component=0)
+                            * jnp.ones(dA.shape, dA.dtype))
+                    else:
+                        comps.append(jnp.zeros(dA.shape, dA.dtype))
+                trac = jnp.stack(comps, axis=-1)  # (e, g, dim)
+                fe = jnp.einsum("g,eg,ga,egd->ead", w, dA, N, trac)
+                pad = jnp.zeros(fe.shape[:2] + (1,), fe.dtype)
+                f = f.at[conn].add(jnp.concatenate([fe, pad], axis=-1))
+        return f.reshape(-1)
 
     # -- Windkessel outflow (lumped RCR impedance) -------------------------
 
