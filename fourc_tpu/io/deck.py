@@ -176,7 +176,8 @@ DECK_SPEC = {
                          "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
                          "porofluidmultiphase", "loma", "sti", "ssti", "ehl", "fs3i", "fpsi",
-                         "fbi", "levelset", "pasi"),
+                         "fbi", "levelset", "pasi",
+                         "porofluid_elast", "porofluid_elast_scatra"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),

@@ -130,6 +130,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import porofluid_driver
 
         return porofluid_driver.run(deck, callbacks)
+    if ptype in ("porofluid_elast", "porofluid_elast_scatra"):
+        from fourc_tpu.physics import porofluid_elast_driver
+
+        return porofluid_elast_driver.run(deck, callbacks)
     if ptype == "red_airways":
         from fourc_tpu.physics import airway_driver
 

@@ -69,8 +69,14 @@ class PorofluidField:
 
         return get_cell(self.dofmap.blocks[key].cell)
 
-    def residual(self, x, x_old, dt, t):
-        """Backward-Euler residual; x = interleaved (p_w, p_n) per node."""
+    def residual(self, x, x_old, dt, t, extra_source=None):
+        """Backward-Euler residual; x = interleaved (p_w, p_n) per node.
+
+        extra_source: optional {block_key: (e, g, 2)} Gauss-point volumetric
+        source per phase, added as ``+ int N_a s_c`` — the hook the
+        porofluid_elast coupling uses to inject the skeleton volume-rate
+        term S_a * alpha * dJ/dt (ref: porofluid_pressure_based_elast
+        off-diagonal coupling blocks)."""
         dm = self.dofmap
         per = {}
         for key in dm.blocks:
@@ -105,6 +111,10 @@ class PorofluidField:
                                        gp[:, :, 0])
             f_n = f_n + K * jnp.einsum("eg,eg,egad,egd->ea", wdet, lam_n, G,
                                        gp[:, :, 1])
+            if extra_source is not None and key in extra_source:
+                s = extra_source[key]  # (e, g, 2)
+                f_w = f_w + jnp.einsum("eg,ga,eg->ea", wdet, N, s[..., 0])
+                f_n = f_n + jnp.einsum("eg,ga,eg->ea", wdet, N, s[..., 1])
             per[key] = jnp.stack([f_w, f_n], axis=-1).reshape(
                 f_w.shape[0], -1)
         r = dm.scatter_add(per)
