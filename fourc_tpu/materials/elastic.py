@@ -156,6 +156,38 @@ class ShellElastic(Material):
         return cls(**params)
 
 
+@register_material("shell7p")
+class Shell7p(Material):
+    """7-parameter shell section: a full 3D hyperelastic law + THICKNESS
+    (ref: src/shell7p — shell7p elements evaluate unmodified 3D materials
+    because the 7th parameter supplies the linear transverse normal
+    strain; 4C_shell7p_ele_calc.*)."""
+
+    kind = "shell7p"
+
+    def __init__(self, youngs, nue, thickness, density=0.0, law="svk"):
+        self.youngs = float(youngs)
+        self.nue = float(nue)
+        self.thickness = float(thickness)
+        self.density = float(density)
+        self.law = str(law)
+
+    @classmethod
+    def from_deck(cls, params):
+        return cls(**params)
+
+    def psi(self, C):
+        lam = self.youngs * self.nue / ((1 + self.nue) * (1 - 2 * self.nue))
+        mu = self.youngs / (2 * (1 + self.nue))
+        if self.law == "neohooke":
+            I1 = jnp.trace(C)
+            lnJ = 0.5 * jnp.log(jnp.linalg.det(C))
+            return 0.5 * mu * (I1 - 3.0) - mu * lnJ + 0.5 * lam * lnJ**2
+        E = 0.5 * (C - jnp.eye(3, dtype=C.dtype))
+        trE = jnp.trace(E)
+        return 0.5 * lam * trE**2 + mu * jnp.trace(E @ E)
+
+
 @register_material("mulf")
 class MulfPrestress(HistoryMaterial):
     """MULF (multiplicative update) prestressing wrapper.

@@ -216,3 +216,87 @@ class KLShellField:
                          + mass_shift * self.lumped_mass(), 1.0)
         dinv = 1.0 / diag
         return lambda r: dinv * r
+
+
+class Shell7pField:
+    """7-parameter shell: 7 dofs/node [u(3), w(3), beta] on quad4 blocks,
+    geometrically nonlinear with unmodified 3D material laws.
+
+    ref: src/shell7p (4C_shell7p_ele_calc.*) — here the batched element
+    energy (ops/shell7p.py) is differentiated by jax AD for the internal
+    force; the tangent is jvp-of-grad (matrix-free), matching the house
+    pattern of SolidField.
+    """
+
+    def __init__(self, disc: Discretization, materials: dict, params,
+                 dirichlet=(), point_neumann=(), functions=None):
+        from fourc_tpu.ops import shell7p as s7
+
+        self.disc = disc
+        self.params = params
+        self.functions = functions or FunctionManager()
+        self.ndpn = 7
+        self.dofmap = disc.dofmap(7)
+        self.ndof = self.dofmap.ndof
+        self.dbc = DirichletHandler(list(dirichlet), disc.coords, 7,
+                                    self.functions)
+        self.point_neumann = list(point_neumann)
+        self.coords = jnp.asarray(disc.coords)
+
+        self._forces = {}
+        self._mass = {}
+        for key, blk in disc.blocks.items():
+            if blk.cell != "quad4":
+                raise ValueError("Shell7pField supports quad4 elements")
+            mat = materials[int(np.asarray(blk.mat_id)[0])]
+            Xb = self.coords[jnp.asarray(np.asarray(blk.conn))]
+            force, _ = s7.make_internal_force(Xb, mat, mat.thickness)
+            self._forces[key] = force
+            self._mass[key] = s7.lumped_mass(Xb, mat.density, mat.thickness)
+
+    def internal_force(self, u, history=None, dt=None, temps=None,
+                       cstate=None, u_old=None):
+        dm = self.dofmap
+        per = {}
+        for key in dm.blocks:
+            qb = dm.gather(u, key)  # (E, 4, 7)
+            per[key] = self._forces[key](qb).reshape(qb.shape[0], -1)
+        return dm.scatter_add(per), None
+
+    def external_force(self, t, u=None):
+        f = jnp.zeros((self.ndof,), self.coords.dtype)
+        for pb in self.point_neumann:
+            xyz = self.coords[jnp.asarray(pb.nodes)]
+            for k in range(min(7, len(pb.onoff))):
+                if pb.onoff[k]:
+                    fn = self.functions.get(pb.funct[k])
+                    vals = pb.val[k] * fn(xyz, t, component=0)
+                    f = f.at[jnp.asarray(pb.nodes) * 7 + k].add(vals)
+        return f
+
+    def lumped_mass(self):
+        per = {k: m.reshape(m.shape[0], -1) for k, m in self._mass.items()}
+        return jnp.maximum(self.dofmap.scatter_add(per), 1e-12)
+
+    def mass_matvec(self, v):
+        if not hasattr(self, "_ml"):
+            self._ml = self.lumped_mass()
+        return self._ml * v
+
+    def _residual_xform(self, residual_fn):
+        return residual_fn, lambda u: u
+
+    def build_preconditioner(self, u=None, history=None, dt=None,
+                             mass_shift=0.0):
+        u0 = jnp.zeros((self.ndof,), self.coords.dtype) if u is None else u
+        diag = jnp.zeros((self.ndof,), self.coords.dtype)
+        nn = self.disc.n_nodes
+        for k in range(7):
+            p = jnp.zeros((nn, 7), self.coords.dtype).at[:, k].set(1.0)
+            p = p.reshape(-1)
+            _, jv = jax.jvp(lambda x: self.internal_force(x)[0], (u0,), (p,))
+            diag = diag + p * jv
+        diag = jnp.abs(diag) + mass_shift * self.lumped_mass()
+        diag = jnp.where(self.dbc.free_mask, jnp.maximum(diag, 1e-10), 1.0)
+        dinv = 1.0 / diag
+        return lambda r: dinv * r

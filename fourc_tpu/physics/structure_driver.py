@@ -58,6 +58,15 @@ def build_field(deck, disc_name="structure"):
             beam_contact=bc[0] if bc else None,
             functions=deck.functions,
         )
+    if any(getattr(m, "kind", "") == "shell7p" for m in materials.values()):
+        from fourc_tpu.physics.shell import Shell7pField
+
+        return Shell7pField(
+            disc, materials, params,
+            dirichlet=conds.get("dirichlet", ()),
+            point_neumann=conds.get("point_neumann", ()),
+            functions=deck.functions,
+        )
     if any(getattr(m, "kind", "") == "shell" for m in materials.values()):
         from fourc_tpu.physics.shell import ShellField
 
@@ -125,7 +134,7 @@ def run(deck, callbacks=None) -> drv.RunResult:
     timers = Timers()
     with timers("setup"):
         from fourc_tpu.physics.beam_solid import BeamSolidField
-        from fourc_tpu.physics.shell import ShellField
+        from fourc_tpu.physics.shell import Shell7pField, ShellField
 
         if "beams" in deck.disc and "structure" in deck.disc:
             # embedded fibers: solid + beams + volume mesh tying
@@ -150,7 +159,7 @@ def run(deck, callbacks=None) -> drv.RunResult:
                                surface_contact=sc)
         else:
             f = build_field(deck)
-        if isinstance(f, (pb.BeamField, ShellField, BeamSolidField)):
+        if isinstance(f, (pb.BeamField, ShellField, Shell7pField, BeamSolidField)):
             state = ps.compute_initial_state(f, pb.init_state(f))
             mkstep = lambda dt: pb.make_step(f, dt)  # noqa: E731
         else:
