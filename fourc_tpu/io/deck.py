@@ -151,8 +151,11 @@ def _dyn_spec(default_dyntype, dyntypes):
                                     doc="LES Smagorinsky constant (fluid; 0=off)"),
             "turbulence_model": param(
                 str, "none", choices=("none", "smagorinsky",
-                                      "dynamic_smagorinsky"),
+                                      "dynamic_smagorinsky",
+                                      "multifractal", "avm3"),
                 doc="LES model (ref PHYSICAL_MODEL in TURBULENCE MODEL)"),
+            "csgs": param(float, 0.25,
+                          doc="multifractal SGS coefficient (ref CSGS)"),
             "prestress": param(str, "none", choices=("none", "mulf"),
                                doc="prestressing technology (ref PRESTRESS)"),
             "prestress_steps": param(int, 0),

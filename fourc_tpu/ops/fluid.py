@@ -76,6 +76,10 @@ def residual(
     cs2_gp=None,
     rho_gp=None,
     cont_src_gp=None,
+    mfs_B=None,
+    mfs_ue_hat=None,
+    avm3_ue_fine=None,
+    avm3_cs: float = 0.0,
 ):
     """Element residual: (f_mom (e, nen, d), f_cont (e, nen)).
 
@@ -130,6 +134,36 @@ def residual(
         f_mom = f_mom + 2.0 * jnp.einsum(
             "eg,eg,egij,egaj->eai", wdet, mu_eff - mu, eps, G)
     f_mom = f_mom + 2.0 * mu * jnp.einsum("eg,egij,egaj->eai", wdet, eps, G)
+
+    if mfs_B is not None:
+        # multifractal subgrid scales (ref: src/fluid_turbulence MFS;
+        # Rasthofer & Gravemeier): delta_u = B (u - hat_u); Galerkin cross
+        # + Reynolds terms  c.grad(du) + du.grad(u) + du.grad(du)
+        uh = jnp.einsum("ga,eai->egi", N, mfs_ue_hat)
+        graduh = gm.grad_field(mfs_ue_hat, G)
+        B = mfs_B[:, None, None]
+        du = B * (u - uh)
+        graddu = B[..., None] * (gradu - graduh)
+        extra = (
+            jnp.einsum("egj,egij->egi", c, graddu)
+            + jnp.einsum("egj,egij->egi", du, gradu)
+            + jnp.einsum("egj,egij->egi", du, graddu)
+        )
+        f_mom = f_mom + jnp.einsum("eg,ga,egi->eai", wdet, N,
+                                   rho_m * extra)
+
+    if avm3_ue_fine is not None:
+        # AVM3: Smagorinsky eddy viscosity acting on the FINE scales only
+        # (ref: fluid_ele avm3_assemble_mat_and_rhs — subgrid viscosity on
+        # the scale-separated field S u)
+        vol = jnp.sum(wdet, axis=1)
+        delta = jnp.broadcast_to((vol ** (1.0 / dim))[:, None], wdet.shape)
+        snorm = jnp.sqrt(2.0 * jnp.einsum("egij,egij->eg", eps, eps) + 1e-30)
+        nu_sgs = (avm3_cs**2) * delta**2 * snorm  # (e, g)
+        gradf = gm.grad_field(avm3_ue_fine, G)
+        epsf = 0.5 * (gradf + jnp.swapaxes(gradf, -1, -2))
+        f_mom = f_mom + 2.0 * rho * jnp.einsum(
+            "eg,eg,egij,egaj->eai", wdet, nu_sgs, epsf, G)
 
     # Galerkin continuity: q div u (low-Mach: div u = thermal expansion src)
     f_cont = jnp.einsum("eg,ga,eg->ea", wdet, N, divu)

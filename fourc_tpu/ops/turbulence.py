@@ -87,3 +87,102 @@ def dynamic_cs2(Xe, ue, cell, conn, n_nodes, averaging="global",
         return jnp.broadcast_to(cs2, V.shape)
     cs2 = LM / jnp.maximum(MM, 1e-30)
     return jnp.clip(cs2, 0.0, cs2_max)
+
+
+# ---------------------------------------------------------------------------
+# Multifractal subgrid scales (MFS)
+# ---------------------------------------------------------------------------
+
+
+def mfs_fields(Xe, ue, cell, conn, n_nodes, nu, csgs=0.25, n_max=12.0):
+    """Multifractal SGS model inputs per element block.
+
+    Counterpart of the reference's multifractal subgrid-scale model
+    (ref: src/fluid_turbulence — Rasthofer & Gravemeier multifractal SGS;
+    fluid_ele calc multifractal terms): the subgrid velocity is modeled as
+    delta_u = B * (u - hat_u) with hat_u the box-filtered (node-patch)
+    resolved velocity and
+
+        N = log2(Re_h^(3/4))   (cascade steps to the Kolmogorov scale)
+        B = csgs * sqrt(2/3) * sqrt(2^(4N/3) - 1)
+
+    Returns (B (e,), u_hat_nodes (n_nodes, d)) — the caller forms
+    delta_u(GP) = B_e (u - hat_u)(GP) and its gradient from nodal values.
+    """
+    u_e, _, S_e, _, V = _element_averages(Xe, ue, cell)
+    dim = Xe.shape[-1]
+    h = V ** (1.0 / dim)
+    umag = jnp.linalg.norm(u_e, axis=-1)
+    re_h = umag * h / nu
+    Nc = jnp.clip(jnp.log2(jnp.maximum(re_h, 1.0) ** 0.75), 0.0, n_max)
+    B = csgs * jnp.sqrt(2.0 / 3.0) * jnp.sqrt(2.0 ** (4.0 * Nc / 3.0) - 1.0)
+
+    # node-patch filtered velocity AT NODES (volume-weighted element means)
+    nen = conn.shape[1]
+    wf = V[:, None] * u_e  # (e, d)
+    rep = jnp.repeat(wf[:, None], nen, axis=1)
+    num = jnp.zeros((n_nodes, u_e.shape[-1]), ue.dtype)
+    num = num.at[conn.reshape(-1)].add(rep.reshape(-1, u_e.shape[-1]))
+    den = jnp.zeros((n_nodes,), ue.dtype)
+    den = den.at[conn.reshape(-1)].add(
+        jnp.broadcast_to(V[:, None], conn.shape).reshape(-1))
+    u_hat = num / jnp.maximum(den, 1e-300)[:, None]
+    return B, u_hat
+
+
+# ---------------------------------------------------------------------------
+# AVM3 (algebraic variational multiscale-multigrid) scale separation
+# ---------------------------------------------------------------------------
+
+
+def avm3_aggregates(disc):
+    """Plain-aggregation nodal scale separation (host precompute).
+
+    Counterpart of the reference's AVM3 scale-separation operator built
+    from a plain-aggregation ML/MueLu hierarchy (ref: src/fluid
+    4C_fluid_implicit_integration avm3_preparation + avm3_assemble_mat_and_rhs
+    in fluid_ele; the separation matrix S = I - P R).  Greedy aggregation
+    over the node adjacency graph; returns (agg_id (n_nodes,),
+    counts (n_agg,))."""
+    import numpy as np
+
+    n = disc.n_nodes
+    nbr = [[] for _ in range(n)]
+    for blk in disc.blocks.values():
+        conn = np.asarray(blk.conn)
+        for e in range(conn.shape[0]):
+            nodes = conn[e]
+            for a in nodes:
+                nbr[a].extend(int(b) for b in nodes if b != a)
+    agg = -np.ones(n, np.int32)
+    next_id = 0
+    for i in range(n):  # root-based greedy aggregation
+        if agg[i] >= 0:
+            continue
+        if any(agg[j] >= 0 for j in nbr[i]):
+            continue
+        agg[i] = next_id
+        for j in nbr[i]:
+            if agg[j] < 0:
+                agg[j] = next_id
+        next_id += 1
+    for i in range(n):  # attach leftovers to a neighbouring aggregate
+        if agg[i] < 0:
+            for j in nbr[i]:
+                if agg[j] >= 0:
+                    agg[i] = agg[j]
+                    break
+            if agg[i] < 0:
+                agg[i] = next_id
+                next_id += 1
+    counts = np.bincount(agg, minlength=next_id).astype(np.float64)
+    return jnp.asarray(agg), jnp.asarray(counts)
+
+
+def avm3_fine_scales(u_nodes, agg, counts):
+    """u' = (I - P R) u with R = aggregate mean, P = injection.
+    Annihilates aggregate-wise constants. u_nodes: (n_nodes, d)."""
+    s = jnp.zeros((counts.shape[0], u_nodes.shape[-1]), u_nodes.dtype)
+    s = s.at[agg].add(u_nodes)
+    mean = s / counts.astype(u_nodes.dtype)[:, None]
+    return u_nodes - mean[agg]

@@ -41,7 +41,8 @@ class FluidParams:
     pspg: bool = True
     graddiv: bool = True
     smagorinsky_cs: float = 0.0  # LES constant-Smagorinsky Cs (0 = laminar)
-    turbulence_model: str = "none"  # none|smagorinsky|dynamic_smagorinsky
+    turbulence_model: str = "none"  # none|smagorinsky|dynamic_smagorinsky|multifractal|avm3
+    csgs: float = 0.25  # multifractal SGS coefficient (ref: CSGS)
     initial_funct: int = 0
     divercont: str = "stop"
     max_halvings: int = 5
@@ -167,6 +168,7 @@ class FluidField:
             if mesh_vel is not None:
                 gv = mesh_vel[conn]
             cs2 = None
+            mfs_B = mfs_hat = avm3_fine = None
             if p.turbulence_model == "dynamic_smagorinsky":
                 from fourc_tpu.ops import turbulence as tops
 
@@ -175,12 +177,34 @@ class FluidField:
                 # the filtered Cs of the last step)
                 cs2 = jax.lax.stop_gradient(tops.dynamic_cs2(
                     Xe, ue, cell, conn, self.disc.n_nodes))
+            elif p.turbulence_model == "multifractal":
+                from fourc_tpu.ops import turbulence as tops
+
+                # Picard-frozen B and hat_u (ref: MFS terms are evaluated
+                # with the converged field of the last iterate)
+                nu = float(m.visc()) / float(m.density)
+                B, u_hat = tops.mfs_fields(Xe, ue, cell, jnp.asarray(conn),
+                                           self.disc.n_nodes, nu,
+                                           csgs=p.csgs)
+                mfs_B = jax.lax.stop_gradient(B)
+                mfs_hat = jax.lax.stop_gradient(u_hat[jnp.asarray(conn)])
+            elif p.turbulence_model == "avm3":
+                from fourc_tpu.ops import turbulence as tops
+
+                if not hasattr(self, "_avm3"):
+                    self._avm3 = tops.avm3_aggregates(self.disc)
+                agg, counts = self._avm3
+                uf = tops.avm3_fine_scales(
+                    x.reshape(-1, self.ndpn)[:, : self.dim], agg, counts)
+                avm3_fine = uf[jnp.asarray(conn)]
             f_mom, f_cont = ops.residual(
                 Xe, ue, pe, udote, cell,
                 mu=float(m.visc()), rho=float(m.density),
                 body_gp=self.body_at_gps(key, t), dt=dt,
                 supg=p.supg, pspg=p.pspg, graddiv=p.graddiv,
                 grid_vel=gv, smagorinsky_cs=p.smagorinsky_cs, cs2_gp=cs2,
+                mfs_B=mfs_B, mfs_ue_hat=mfs_hat, avm3_ue_fine=avm3_fine,
+                avm3_cs=p.smagorinsky_cs or 0.1,
                 rho_gp=None if rho_gp is None else rho_gp.get(key),
                 cont_src_gp=(None if cont_src_gp is None
                              else cont_src_gp.get(key)),
