@@ -177,6 +177,11 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
             jnp.asarray(jnp.inf, rnorm0.dtype), sigma0)
     u, r, rnorm, dnorm, k, lin_tot, rprev, _ = jax.lax.while_loop(cond, body, init)
     conv = _converged(rnorm, dnorm, params, rnorm0, k)
+    # a non-finite residual can still satisfy the increment test (du == 0
+    # when the linear solver bailed out on a NaN rhs) — never call that
+    # converged (the reference treats NaN norms as divergence, ref:
+    # structure_new/src/implicit/4C_structure_new_timint_implicit.cpp:230)
+    conv = jnp.logical_and(conv, jnp.isfinite(rnorm))
     if params.stag_tol:
         # stagnation at the roundoff floor counts as converged when the
         # residual dropped by the required factor
