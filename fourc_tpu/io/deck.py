@@ -134,6 +134,15 @@ def _dyn_spec(default_dyntype, dyntypes):
                 doc="Newton divergence action (ref DIVERCONT)",
             ),
             "maxdivconrefinementlevel": param(int, 5),
+            # error-controlled time adaptivity (ref: TIMEADAPTIVITY /
+            # TimAdaZienXie, src/adapter/4C_adapter_str_timeada.cpp)
+            "timada_kind": param(str, "none",
+                                 choices=("none", "zienkiewicz_xie"),
+                                 doc="a-posteriori dt adaptivity"),
+            "timada_tol": param(float, 1e-4, doc="local error tolerance"),
+            "timada_dtmin": param(float, None, doc="min dt (default dt/64)"),
+            "timada_dtmax": param(float, None, doc="max dt (default dt)"),
+            "timada_safety": param(float, 0.9),
             "lumpmass": param(bool, False),
             "m_damp": param(float, 0.0, doc="Rayleigh mass damping"),
             "k_damp": param(float, 0.0, doc="Rayleigh stiffness damping"),

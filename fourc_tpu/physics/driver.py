@@ -230,6 +230,97 @@ def time_loop(
     return state, agg
 
 
+def time_loop_adaptive(
+    fieldname,
+    state,
+    make_step,  # dt -> jitted step fn (state -> (state, stats))
+    dt0: float,
+    t_end: float,
+    error_fn,  # (state_old, state_new, dt) -> scalar local-error estimate
+    tol: float = 1e-4,
+    dtmin: float | None = None,
+    dtmax: float | None = None,
+    safety: float = 0.9,
+    order: int = 3,
+    callbacks=None,
+    timers: Timers | None = None,
+    verbose: bool = True,
+):
+    """Error-controlled adaptive time stepping (Zienkiewicz-Xie style).
+
+    Counterpart of the reference's TimAda / TimAdaZienXie wrappers
+    (ref: src/timestepping/4C_timestepping_zienkiewicz_xie.* +
+    src/adapter/4C_adapter_str_timeada.cpp): after each converged step the
+    a-posteriori local error estimate ``error_fn`` is compared to ``tol``;
+    steps with err > tol are REJECTED and retried with a smaller dt; after
+    accepted steps dt grows toward ``dt * safety*(tol/err)^(1/order)``.
+
+    TPU-native twist: every distinct dt is a separate compiled program, so
+    dt is quantized to the halving grid {dtmax / 2^j} — the controller
+    rounds its proposal down to the grid, bounding the number of compiles
+    to log2(dtmax/dtmin) + 1 instead of one per step (the reference's C++
+    integrators pay nothing per new dt; XLA would).
+    """
+    timers = timers or Timers()
+    dtmax = dtmax if dtmax is not None else dt0
+    dtmin = dtmin if dtmin is not None else dt0 / 64.0
+    step_fns = {}
+
+    def get_step(dt):
+        if dt not in step_fns:
+            with timers("compile"):
+                step_fns[dt] = make_step(dt)
+        return step_fns[dt]
+
+    def quantize(dt):
+        j = int(np.ceil(np.log2(dtmax / max(dt, dtmin)) - 1e-12))
+        return dtmax / 2 ** max(0, j)
+
+    agg = {"newton_iters": 0, "lin_iters": 0, "steps": 0, "substeps": 0,
+           "resnorm": 0.0, "halvings": 0, "rejections": 0, "dt_levels": set()}
+    t = float(state["t"])
+    dt = quantize(dt0)
+    t_wall = time.perf_counter()
+    while t < t_end - 1e-12 * max(1.0, abs(t_end)):
+        dt = min(dt, t_end - t)  # final partial step may be off-grid
+        st_new, stats = get_step(dt)(state)
+        if not bool(stats["converged"]):
+            if dt / 2 < dtmin:
+                raise RuntimeError(
+                    f"{fieldname}: diverged at t={t:g} with dt=dtmin={dtmin:g}")
+            agg["halvings"] += 1
+            dt = quantize(dt / 2)
+            continue
+        err = float(error_fn(state, st_new, dt))
+        if err > tol and dt > dtmin * (1 + 1e-12):
+            agg["rejections"] += 1
+            dt = quantize(max(
+                dtmin, dt * max(0.25, safety * (tol / err) ** (1.0 / order))))
+            continue
+        state = st_new
+        t = float(state["t"])
+        agg["newton_iters"] += int(stats["iters"])
+        agg["lin_iters"] += int(stats["lin_iters"])
+        agg["substeps"] += 1
+        agg["steps"] += 1
+        agg["resnorm"] = float(stats["resnorm"])
+        agg["dt_levels"].add(dt)
+        if callbacks:
+            for cb in callbacks:
+                cb(fieldname, state, agg)
+        fac = safety * (tol / max(err, 1e-300)) ** (1.0 / order)
+        dt = quantize(min(dtmax, dt * min(4.0, max(0.25, fac))))
+    agg["walltime"] = time.perf_counter() - t_wall
+    agg["dt_levels"] = sorted(agg["dt_levels"])
+    if verbose:
+        print(
+            f"[{fieldname}] adaptive: {agg['steps']} steps, "
+            f"{agg['rejections']} rejections, dt levels {agg['dt_levels']}, "
+            f"{agg['newton_iters']} Newton its, {agg['walltime']:.3f}s wall"
+        )
+    return state, agg
+
+
 def setup_restart(deck, fieldname, state, n_steps, callbacks):
     """Common restart/checkpoint wiring for all field drivers.
 

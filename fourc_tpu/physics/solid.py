@@ -709,6 +709,34 @@ def compute_initial_state(f: SolidField, state, consistent_mass_tol=1e-10):
     return new
 
 
+def make_zienxie_error_fn(f: "SolidField"):
+    """A-posteriori local-error estimate for adaptive time stepping.
+
+    Zienkiewicz-Xie: the leading local displacement error of a Newmark-
+    family step vs the exact cubic is e = (beta - 1/6) dt^2 (a_{n+1}-a_n)
+    (ref: src/timestepping/4C_timestepping_zienkiewicz_xie.cpp — same
+    indicator driving the reference's TimAdaZienXie).  OST maps to
+    Newmark with beta_eff = theta/2.  Returns per-dof RMS of e.
+    """
+    typ = f.params.dyntype
+    if typ == "genalpha":
+        beta = float(f.params.genalpha.beta)
+    elif typ == "onesteptheta":
+        beta = float(f.params.theta) / 2.0
+    else:
+        raise ValueError(
+            f"Zienkiewicz-Xie adaptivity needs a dynamic Newmark-family "
+            f"integrator (genalpha/onesteptheta), got dyntype={typ!r}")
+    coef = abs(beta - 1.0 / 6.0)
+
+    def error_fn(state_old, state_new, dt):
+        da = state_new["a"] - state_old["a"]
+        n = da.shape[0]
+        return coef * dt * dt * float(jnp.linalg.norm(da)) / n**0.5
+
+    return error_fn
+
+
 def make_step(f: SolidField, dt: float | None = None):
     """Build the jitted step function for the configured integrator."""
     dt = float(dt if dt is not None else f.params.dt)

@@ -229,11 +229,21 @@ def run(deck, callbacks=None) -> drv.RunResult:
 
     state, n_steps, out_cbs = drv.setup_restart(deck, "structure", state, n_steps, out_cbs)
 
-    state, agg = drv.time_loop(
-        "structure", state, mkstep, dyn["timestep"],
-        n_steps, divercont=dyn["divercont"], max_levels=dyn["maxdivconrefinementlevel"],
-        callbacks=out_cbs, timers=timers,
-    )
+    if dyn.get("timada_kind", "none") == "zienkiewicz_xie":
+        state, agg = drv.time_loop_adaptive(
+            "structure", state, mkstep, dyn["timestep"],
+            t_end=float(state["t"]) + n_steps * dyn["timestep"],
+            error_fn=ps.make_zienxie_error_fn(f),
+            tol=dyn["timada_tol"], dtmin=dyn["timada_dtmin"],
+            dtmax=dyn["timada_dtmax"], safety=dyn["timada_safety"],
+            callbacks=out_cbs, timers=timers,
+        )
+    else:
+        state, agg = drv.time_loop(
+            "structure", state, mkstep, dyn["timestep"],
+            n_steps, divercont=dyn["divercont"], max_levels=dyn["maxdivconrefinementlevel"],
+            callbacks=out_cbs, timers=timers,
+        )
     return drv.RunResult(
         deck=deck, fields={"structure": SolidFieldView(f)},
         states={"structure": state},
