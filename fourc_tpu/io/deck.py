@@ -676,6 +676,13 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                     "stiffness": item.get("stiffness", ()),
                     "viscosity": item.get("viscosity", ()),
                 })
+            elif key == "embedded_mesh":
+                # overlay body coupling (constraint_framework analog,
+                # coupling/embedded_mesh.py)
+                f.setdefault("embedded_mesh", []).append({
+                    "nodes": _resolve_nodes(disc, item["nodes"]),
+                    "penalty": item.get("penalty", 1e5),
+                })
             elif key == "electrode_kinetics":
                 f.setdefault("electrode_kinetics", []).append({
                     "faces": _resolve_faces(disc, item.pop("faces")),

@@ -102,6 +102,7 @@ class SolidField:
         meshtying=(),
         springs=(),
         constraints=(),
+        embedded_mesh=(),
         functions: FunctionManager | None = None,
         extra_force_hook: bool = False,
     ):
@@ -119,6 +120,43 @@ class SolidField:
                 DirichletBC(disc.node_sets["__padding__"],
                             [1] * self.ndpn, [0.0] * self.ndpn)
             )
+        # embedded-mesh overlay coupling (constraint_framework analog; see
+        # coupling/embedded_mesh.py): interface penalty tie + background
+        # volume-fraction scales that void the overlapped material
+        self.embedded = []
+        self.elem_scale = {}
+        for em in embedded_mesh:
+            from fourc_tpu.coupling.embedded_mesh import EmbeddedMeshTie
+
+            tie = EmbeddedMeshTie(disc, em["nodes"],
+                                  penalty=float(em.get("penalty", 1e5)),
+                                  ndpn=self.ndpn)
+            self.embedded.append(tie)
+            for key, s in tie.block_scale.items():
+                prev = self.elem_scale.get(key)
+                self.elem_scale[key] = s if prev is None else prev * s
+        self.elem_scale = {k: jnp.asarray(v) for k, v in self.elem_scale.items()
+                           if np.any(np.asarray(v) < 1.0)}
+        self.embedded_dead_nodes = np.zeros(0, np.int64)
+        if self.elem_scale:
+            # background nodes whose entire element support is voided have
+            # zero stiffness rows — deactivate them (the reference's
+            # small/empty volume-cell dof deactivation in the cut)
+            support = np.zeros(disc.n_nodes)
+            for key, blk in disc.blocks.items():
+                conn = np.asarray(blk.conn)
+                s = np.asarray(self.elem_scale.get(key,
+                                                   np.ones(conn.shape[0])))
+                np.add.at(support, conn.reshape(-1),
+                          np.repeat(s, conn.shape[1]))
+            self.embedded_dead_nodes = np.where(support < 1e-12)[0]
+            if len(self.embedded_dead_nodes):
+                from fourc_tpu.core.conditions import DirichletBC
+
+                dirichlet.append(
+                    DirichletBC(self.embedded_dead_nodes,
+                                [1] * self.ndpn, [0.0] * self.ndpn))
+
         self.dbc = DirichletHandler(dirichlet, disc.coords, self.ndpn, self.functions)
         self.neumann = list(neumann)
         self.point_neumann = list(point_neumann)
@@ -315,12 +353,17 @@ class SolidField:
             per_block[key] = fe.reshape(fe.shape[0], -1)
             if hn is not None:
                 new_hist[key] = hn
+        for key, s in self.elem_scale.items():
+            if key in per_block:
+                per_block[key] = per_block[key] * s[:, None].astype(u.dtype)
         f = dm.scatter_add(per_block)
         f = self._tail_forces(f, u, u_old, dt, cstate, history)
         return f, (new_hist if new_hist else None)
 
     def _tail_forces(self, f, u, u_old, dt, cstate, history):
         """Spring-dashpot + contact additions to the bulk internal force."""
+        for tie in getattr(self, "embedded", ()):
+            f = f + tie.force(u)
         if self.springs:
             un = u.reshape(-1, self.ndpn)
             uo = None if u_old is None else u_old.reshape(-1, self.ndpn)
@@ -439,6 +482,8 @@ class SolidField:
                                      self._density[key] * mat.thickness)
             else:
                 m = ops.lumped_mass(self.block_X[key], self._cell(key), self._density[key])
+            if key in self.elem_scale:
+                m = m * self.elem_scale[key][:, None].astype(m.dtype)
             per_block[key] = jnp.repeat(m, self.ndpn, axis=-1).reshape(m.shape[0], -1)
         return dm.scatter_add(per_block)
 
@@ -476,6 +521,8 @@ class SolidField:
             me = ops.consistent_mass_matvec(
                 self.block_X[key], ve, self._cell(key), self._density[key]
             )
+            if key in self.elem_scale:
+                me = me * self.elem_scale[key][:, None, None].astype(me.dtype)
             per_block[key] = me.reshape(me.shape[0], -1)
         return dm.scatter_add(per_block)
 
@@ -785,7 +832,7 @@ def _static_precond(f: SolidField, mass_shift: float = 0.0):
             # packed-pred lattice array as a runtime program input crashes
             # the TPU worker (runtime layout fault, reproduced at n=72);
             # as a ~1MB compile-time literal it is harmless
-            for nm in ("Xe", "Ke", "dinv", "mlump"):
+            for nm in ("Xe", "Ke", "dinv", "mlump", "w"):
                 if getattr(lv, nm, None) is not None:
                     f.hoister.register_attr(lv, nm)
     return M

@@ -88,6 +88,7 @@ def build_field(deck, disc_name="structure"):
         mortar_contact=conds.get("mortar_contact", ()),
         meshtying=conds.get("meshtying", ()),
         springs=conds.get("spring_dashpot", ()),
+        embedded_mesh=conds.get("embedded_mesh", ()),
         constraints=_build_constraints(conds.get("constraint", ()), disc,
                                        deck.functions),
         functions=deck.functions,
