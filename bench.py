@@ -28,10 +28,24 @@ def main():
     # geometric-multigrid hierarchy.
     n = int(os.environ.get("BENCH_N", "72"))
     n_steps = int(os.environ.get("BENCH_STEPS", "3"))
-    precond = os.environ.get("BENCH_PRECOND", "gmg")
+    mesh_kind = os.environ.get("BENCH_MESH", "lattice")  # lattice|unstructured
+    precond = os.environ.get(
+        "BENCH_PRECOND", "gmg" if mesh_kind == "lattice" else "amg")
     host_newton = os.environ.get("BENCH_HOST_NEWTON", "0") == "1"
 
     disc = gridgen.box(n, n, n, cell="hex8")
+    if mesh_kind == "unstructured":
+        # jitter interior nodes (deterministic): kills the structured-
+        # lattice provenance, so the step runs the general gather/scatter
+        # element kernels with the SA-AMG preconditioner — the second
+        # benchmark config of the north star (unstructured-mesh path).
+        X = np.array(disc.coords)
+        rng = np.random.RandomState(0)
+        interior = np.all((X > 1e-12) & (X < 1.0 - 1e-12), axis=1)
+        h = 1.0 / n
+        X[interior] += (rng.rand(int(interior.sum()), 3) - 0.5) * (0.35 * h)
+        disc.coords = X
+        disc.structured_shape = None
     ndof = disc.n_nodes * 3
 
     mat = make_material({"type": "neohooke", "youngs": 1.0e4, "nue": 0.3, "density": 1.0})

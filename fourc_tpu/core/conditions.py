@@ -99,6 +99,9 @@ class DirichletHandler:
                     amp[c.nodes, k] = c.val[k]
                     fid[c.nodes, k] = c.funct[k] or 0
         self.free_mask = jnp.asarray(~fixed.reshape(-1))
+        # eager (never inside a trace — a lazily cached version would
+        # capture a tracer); f32 0/1 weight for traced masking, see free_w
+        self._free_w = jnp.asarray((~fixed.reshape(-1)).astype(np.float32))
         self._fixed = fixed
         self._amp = amp
         self._fid = fid
@@ -134,10 +137,19 @@ class DirichletHandler:
             out = out.at[dofs].set(vals)
         return out
 
+    @property
+    def free_w(self):
+        """f32 0/1 weight of free_mask — use for masking inside traced
+        code instead of jnp.where(free_mask, ...): large packed-pred mask
+        arrays fault the TPU runtime when composed with multiple Pallas
+        kernels in one program (see linalg/gmg.py NOTE)."""
+        return self._free_w
+
     def apply(self, u, t):
         """Overwrite constrained dofs with prescribed values."""
-        return jnp.where(self.free_mask, u, self.values(t))
+        w = self.free_w.astype(u.dtype)
+        return w * u + (1.0 - w) * self.values(t).astype(u.dtype)
 
     def mask(self, r):
         """Zero constrained entries (residual projection)."""
-        return jnp.where(self.free_mask, r, 0.0)
+        return self.free_w.astype(r.dtype) * r

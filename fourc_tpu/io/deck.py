@@ -213,6 +213,11 @@ DECK_SPEC = {
             "itemax": param(int, 30, doc="outer fixed-point iterations"),
             "convtol": param(float, 1e-8, doc="interface increment tol"),
             "omega": param(float, 0.5, doc="initial Aitken relaxation"),
+            "block_precond": param(str, "diag", choices=("diag", "bgs"),
+                                   doc="monolithic block preconditioner "
+                                       "(AMGnxn analog): field-diagonal or "
+                                       "block-Gauss-Seidel sweep"),
+            "bgs_sweeps": param(int, 1),
         },
         doc="FSI DYNAMIC (partitioned Dirichlet-Neumann w/ Aitken)",
     ),

@@ -103,25 +103,33 @@ class StructuredGMG:
 
     # -- transfers ----------------------------------------------------------
 
+    # NOTE on masking: all traced masking below is ARITHMETIC with the f32
+    # 0/1 weight `lv.w`, never `jnp.where(lv.free, ...)`.  Exactness is
+    # identical (one product term is exactly zero), but on TPU the bool
+    # (packed-pred) lattice-sized mask arrays trigger a Mosaic/XLA runtime
+    # fault once two or more masked stencil applications compose in one
+    # program (worker crash reproduced at 73^3; each piece alone is fine —
+    # see round-2 notes).  Eager/setup math may keep using `lv.free`.
+
     def _interp(self, z_c, lv_f, lv_c):
         z = z_c.reshape(lv_c.pshape + (self.ndpn,))
         for ax in range(self.dim):
             z = _interp_axis(z, ax, None)
         z = z.reshape(-1)
-        return jnp.where(lv_f.free, z, 0.0)
+        return z * lv_f.w
 
     def _restrict(self, r_f, lv_f, lv_c):
         r = r_f.reshape(lv_f.pshape + (self.ndpn,))
         for ax in range(self.dim):
             r = _restrict_axis(r, ax)
         r = r.reshape(-1)
-        return jnp.where(lv_c.free, r, 0.0)
+        return r * lv_c.w
 
     # -- cycle ----------------------------------------------------------------
 
     def v_cycle(self, r, k=0):
         lv = self.levels[k]
-        r = jnp.where(lv.free, r, 0.0)
+        r = r * lv.w
         if k == len(self.levels) - 1:
             return lv.chebyshev(r, jnp.zeros_like(r))
         z = lv.chebyshev(r, jnp.zeros_like(r))
@@ -136,7 +144,8 @@ class StructuredGMG:
     def __call__(self, r):
         # mask-safe: constrained entries pass through (unit diagonal)
         z = self.v_cycle(r)
-        return jnp.where(self.levels[0].free, z, r)
+        w = self.levels[0].w
+        return w * z + (1.0 - w) * r
 
 
 class _Level:
@@ -156,6 +165,9 @@ class _Level:
         nue = lam / (2 * (lam + mu))
         self.mat = LinearElastic(youngs=float(E_mod), nue=float(nue))
         self.free = jnp.asarray(lattice_mask.reshape(-1))
+        # f32 0/1 weight used for ALL traced masking (see class NOTE)
+        self.w = jnp.asarray(
+            np.asarray(lattice_mask).reshape(-1).astype(np.float32))
         self._sops = sops
 
         # element coords (E, nen, dim) from lattice slices (canonical order)
@@ -268,7 +280,8 @@ class _Level:
         return f3.reshape(-1)
 
     def matvec(self, v):
-        vm = jnp.where(self.free, v, 0.0)
+        w = self.w.astype(v.dtype)
+        vm = w * v
         if self._lattice_spec is not None:
             from fourc_tpu.ops import lattice as _lat
 
@@ -276,7 +289,7 @@ class _Level:
                                            self._lattice_spec)
             if self.mlump is not None:
                 out = out + self.mass_coeff * self.mlump * vm
-            return jnp.where(self.free, out, v)
+            return w * out + (1.0 - w) * v
         ve = self._gather(vm)  # (E, nen, ndpn)
         E = ve.shape[0]
         vt = jnp.transpose(ve.reshape(E, -1))  # (m, E)
@@ -293,7 +306,7 @@ class _Level:
         out = self._scatter(jnp.transpose(fe))
         if self.mlump is not None:
             out = out + self.mass_coeff * self.mlump * vm
-        return jnp.where(self.free, out, v)
+        return w * out + (1.0 - w) * v
 
     def setup_chebyshev(self, degree, power_iters=0):
         """Chebyshev bounds for D^-1 A.

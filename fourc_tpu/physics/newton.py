@@ -73,26 +73,32 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
     Returns (u, stats dict with iters/resnorm/converged/lin_iters).
     """
     mask = free_mask
+    # ARITHMETIC masking with an f32/f64 0/1 weight, not jnp.where(bool):
+    # exactness is identical (one product term is exactly zero), but on
+    # TPU large packed-pred mask arrays fault the runtime when composed
+    # with multiple Pallas kernels in one program (see linalg/gmg.py NOTE)
+    w = jnp.asarray(mask, u0.dtype)
+    cw = 1.0 - w
 
     def masked_res(u):
-        return jnp.where(mask, residual_fn(u), 0.0)
+        return w * residual_fn(u)
 
     def make_op(u, sigma=None):
         if matvec_fn is not None:
             def A(v):
-                vm = jnp.where(mask, v, 0.0)
+                vm = w * v
                 out = matvec_fn(u, vm)
                 if sigma is not None:
                     out = out + sigma * vm
-                return jnp.where(mask, out, v)
+                return w * out + cw * v
             return A
 
         def A(v):
-            vm = jnp.where(mask, v, 0.0)
+            vm = w * v
             _, jv = jax.jvp(residual_fn, (u,), (vm,))
             if sigma is not None:
                 jv = jv + sigma * vm
-            return jnp.where(mask, jv, v)
+            return w * jv + cw * v
 
         return A
 
@@ -128,7 +134,7 @@ def newton_solve(residual_fn, u0, free_mask, precond, params: NewtonParams,
         else:
             res = solvers.bicgstab(A, -r, M=precond, tol=eta, atol=0.1 * params.tol_res,
                                    maxiter=params.lin_maxiter)
-        du = jnp.where(mask, res.x, 0.0)
+        du = w * res.x
 
         if params.line_search:
             # backtracking on ||r||: try 1, 1/2, 1/4 ... (static unroll)

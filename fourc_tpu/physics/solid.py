@@ -745,8 +745,9 @@ def compute_initial_state(f: SolidField, state, consistent_mass_tol=1e-10):
             from fourc_tpu.linalg.precond import jacobi
 
             def Mop(v):
-                vm = f.dbc.mask(v)
-                return jnp.where(f.dbc.free_mask, f.mass_matvec(vm), v)
+                w = f.dbc.free_w.astype(v.dtype)
+                vm = w * v
+                return w * f.mass_matvec(vm) + (1.0 - w) * v
 
             res = ls.cg(Mop, rhs, M=jacobi(jnp.maximum(mlump, 1e-300)),
                         tol=consistent_mass_tol, maxiter=200)
@@ -997,7 +998,7 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
     ga = f.params.genalpha
     am, af, beta, gamma = ga.alpha_m, ga.alpha_f, ga.beta, ga.gamma
     nw = f.params.newton
-    mask = f.dbc.free_mask
+    wmask = f.dbc.free_w
 
     def _residual(u, aux):
         d_n, v_n, a_n, fint_n, fext_n, t1 = aux
@@ -1008,7 +1009,7 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
         r = f.mass_matvec(a_mid) + fint_mid - (
             (1 - af) * f.external_force(t1, u) + af * fext_n
         )
-        return jnp.where(mask, r, 0.0)
+        return wmask.astype(r.dtype) * r
 
     def residual_norm(u, aux):
         r = _residual(u, aux)
@@ -1016,9 +1017,10 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
 
     def lin_solve(u, r, aux, eta):
         def A(v):
-            vm = jnp.where(mask, v, 0.0)
+            w = wmask.astype(v.dtype)
+            vm = w * v
             _, jv = jax.jvp(lambda x: _residual(x, aux), (u,), (vm,))
-            return jnp.where(mask, jv, v)
+            return w * jv + (1.0 - w) * v
 
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u, dt=dt, mass_shift=(1 - am) / (beta * dt * dt))
@@ -1031,7 +1033,7 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
         # residual honest even at kappa ~ 1e6 where GMRES's end-of-cycle
         # reconstruction drifts by kappa*eps.
         res = ls.cg(A, -r, M=M, tol=eta, atol=0.0, maxiter=nw.lin_maxiter)
-        du = jnp.where(mask, res.x, 0.0)
+        du = wmask.astype(res.x.dtype) * res.x
         linres = jnp.linalg.norm(A(du) + r)  # ||A du - b||, b = -r
         return u + du, jnp.linalg.norm(du), res.iters, linres
 
@@ -1156,7 +1158,7 @@ def _make_central_diff_step(f: SolidField, dt: float):
         d_new = f.dbc.apply(d_new, t1)
         fint, hist_new = f.internal_force(d_new, history=hist, dt=dt)
         fext = f.external_force(t1, d_new)
-        a_new = jnp.where(f.dbc.free_mask, minv * (fext - fint), 0.0)
+        a_new = f.dbc.free_w.astype(fint.dtype) * (minv * (fext - fint))
         v_new = v_half + 0.5 * dt * a_new
         new_state = dict(state)
         new_state.update(
