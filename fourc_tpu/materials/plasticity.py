@@ -594,3 +594,61 @@ class CrystalPlasticity(HistoryMaterial):
         Se = self.lam * jnp.trace(Ee) * eye + 2.0 * self.mu * Ee
         S = Fpi @ Se @ Fpi.T  # pull back to the reference configuration
         return S, jnp.concatenate([Fp.reshape(9), g[None]])
+
+
+@register_material("thermoplastic_j2")
+@dataclass
+class ThermoPlasticJ2(HistoryMaterial):
+    """Small-strain J2 plasticity with thermal softening + thermal
+    eigenstrain.
+
+    Counterpart of the reference's thermo-plastic family
+    (ref: src/mat/4C_mat_thermoplastichyperelast.* — temperature-
+    dependent yield stress sigma_y(T) = sigma_y0 (1 - omega_T (T - T0));
+    4C_mat_thermostvenantkirchhoff.* thermal expansion): the return map
+    runs on the THERMAL-strain-free elastic strain and the flow stress
+    softens linearly in temperature.  Used by TSI with per-GP
+    temperatures (needs_temp routes T into the element kernel).
+
+    history per GP: [eps_p (9), alpha] -> (10,)
+    """
+
+    kind = "solid_small_history"
+    needs_temp = True
+    youngs: float
+    nue: float
+    yield_stress: float
+    isohard: float = 0.0
+    omega_t: float = 0.0  # thermal softening d(sy)/dT / sy0
+    alpha_t: float = 0.0  # thermal expansion coefficient
+    t_ref: float = 0.0
+    density: float = 0.0
+    history_shape = (10,)
+
+    def __post_init__(self):
+        self.G = self.youngs / (2 * (1 + self.nue))
+        self.K = self.youngs / (3 * (1 - 2 * self.nue))
+
+    def evaluate_small(self, eps, h, T=None):
+        eye = jnp.eye(3, dtype=eps.dtype)
+        dT = (0.0 if T is None else T - self.t_ref)
+        eps_mech = eps - self.alpha_t * dT * eye
+        eps_p = h[:9].reshape(3, 3)
+        alpha = h[9]
+        ee = eps_mech - eps_p
+        tr_e = jnp.trace(ee)
+        dev = ee - tr_e / 3.0 * eye
+        s_tr = 2.0 * self.G * dev
+        snorm = jnp.sqrt(jnp.sum(s_tr * s_tr) + 1e-30)
+        q_tr = jnp.sqrt(1.5) * snorm
+        sy = jnp.maximum(
+            self.yield_stress * (1.0 - self.omega_t * dT)
+            + self.isohard * alpha, 1e-8 * self.yield_stress)
+        fy = q_tr - sy
+        dgam = jnp.maximum(fy, 0.0) / (3.0 * self.G + self.isohard)
+        nhat = s_tr / snorm
+        s_new = s_tr - 2.0 * self.G * dgam * jnp.sqrt(1.5) * nhat
+        sig = self.K * tr_e * eye + s_new
+        eps_p_new = eps_p + dgam * jnp.sqrt(1.5) * nhat
+        return sig, jnp.concatenate([eps_p_new.reshape(9),
+                                     (alpha + dgam)[None]])

@@ -308,6 +308,14 @@ def _gp_stress(material, arg, kinem, history, g, dt, temps):
     if kinem == "linear":
         if history is not None:
             fn = material.evaluate_small
+            if temps is not None and getattr(material, "needs_temp", False):
+                # thermo-coupled history material (thermoplasticity):
+                # per-GP temperature enters the return map
+                fn3 = fn
+                if dt is not None and "dt" in fn.__code__.co_varnames:
+                    fn3 = lambda x, h, T: fn(x, h, T, dt)  # noqa: E731
+                return jax.vmap(fn3, in_axes=(-1, 0, 0), out_axes=(-1, 0))(
+                    arg, history[:, g], temps[:, g])
             if dt is not None and "dt" in fn.__code__.co_varnames:
                 fn2 = lambda x, h: fn(x, h, dt)  # noqa: E731
             else:
@@ -417,7 +425,8 @@ def _internal_force_einsum(Xe, ue, cell: CellType, material, kinem: str = "nonli
 
     if kinem == "linear":
         eps = 0.5 * (H + jnp.swapaxes(H, 0, 1))  # (3,3,g,E)
-        sig, hist_new = _stress_small(material, flat(eps), hist_flat, dt)
+        sig, hist_new = _stress_small(material, flat(eps), hist_flat, dt,
+                                      temps_flat)
         sig = unflat(sig)
         f = jnp.einsum("gE,ijgE,gajE->aiE", wdet, sig[:d, :d], G)
     else:
@@ -452,10 +461,16 @@ def _stress_pk2(material, Egl, history, dt, temps=None):
     return material.pk2_from_E(Egl), None
 
 
-def _stress_small(material, eps, history, dt):
+def _stress_small(material, eps, history, dt, temps=None):
     """eps: (3, 3, M) -> (sigma (3, 3, M), history')."""
     if history is not None:
         fn = material.evaluate_small
+        if temps is not None and getattr(material, "needs_temp", False):
+            fn3 = fn
+            if dt is not None and "dt" in fn.__code__.co_varnames:
+                fn3 = lambda x, h, T: fn(x, h, T, dt)  # noqa: E731
+            return jax.vmap(fn3, in_axes=(-1, 0, 0), out_axes=(-1, 0))(
+                eps, history, temps)
         if dt is not None and "dt" in fn.__code__.co_varnames:
             fn2 = lambda x, h: fn(x, h, dt)  # noqa: E731
         else:
