@@ -63,6 +63,12 @@ class ContactCondition:
     # ref src/contact_constitutivelaw): "linear" reproduces plain penalty
     law: str = "linear"
     law_params: dict = None
+    # SELF-contact (ref: the reference's self-contact binary-tree search,
+    # src/contact 4C_contact_selfcontact_binarytree.*): slave nodes and
+    # master faces come from the SAME surface; the broad phase excludes
+    # every face within the slave node's 1-ring surface adjacency so a
+    # node never "contacts" its own neighborhood
+    self_exclude: bool = False
 
 
 class PenaltyContact:
@@ -109,8 +115,48 @@ class PenaltyContact:
             # broad phase: K nearest faces by reference centroid distance
             cent = coords[mconn].mean(axis=1)  # (F, d)
             d2 = ((coords[slave][:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            if c.self_exclude:
+                # (a) exclude the 1-ring: faces sharing any node with a
+                # face that contains the slave node; (b) exclude faces
+                # that do not FACE the slave node's own surface patch
+                # (reference-config normals opposing) — coplanar faces of
+                # the same surface sheet would otherwise register
+                # zero-gap "contact" and lock the sheet in-plane
+                ring = {}
+                for face in mconn:
+                    for nd in face:
+                        ring.setdefault(int(nd), set()).update(
+                            int(x) for x in face)
+                v1 = coords[mconn[:, 2]] - coords[mconn[:, 0]]
+                v2 = coords[mconn[:, 3]] - coords[mconn[:, 1]]
+                fn = np.cross(v1, v2)
+                fn /= np.maximum(np.linalg.norm(fn, axis=1, keepdims=True),
+                                 1e-30)
+                node_n = np.zeros_like(coords, dtype=float)
+                np.add.at(node_n, mconn.reshape(-1),
+                          np.repeat(fn, mconn.shape[1], axis=0))
+                nn = node_n[slave]
+                nn /= np.maximum(np.linalg.norm(nn, axis=1, keepdims=True),
+                                 1e-30)
+                facing = (nn @ fn.T) < -0.3  # (S, F)
+                d2[~facing] = np.inf
+                for si, s in enumerate(slave):
+                    near = ring.get(int(s), {int(s)})
+                    hit = np.isin(mconn, list(near)).any(axis=1)
+                    d2[si, hit] = np.inf
             K = min(c.n_candidates, mconn.shape[0])
             cand = np.argsort(d2, axis=1)[:, :K].astype(np.int32)  # (S, K)
+            slave_w = None
+            if c.self_exclude:
+                # rows with fewer than K admissible faces: repeat the row's
+                # best admissible face instead of letting an excluded
+                # (1-ring) face slip in through argsort; slaves with NO
+                # admissible face at all get zero contact weight
+                rows_d2 = np.take_along_axis(d2, cand, axis=1)
+                bad = ~np.isfinite(rows_d2)
+                best = cand[:, :1]
+                cand = np.where(bad, best, cand)
+                slave_w = (~bad.all(axis=1)).astype(np.float64)
             self.pairs.append(
                 dict(
                     slave=jnp.asarray(slave),
@@ -131,6 +177,8 @@ class PenaltyContact:
                     # (scaled by nodal tributary area); the linear default
                     # keeps classic nodal-spring penalty semantics
                     law_pressure=getattr(c, "law", "linear") != "linear",
+                    slave_w=(None if slave_w is None
+                             else jnp.asarray(slave_w)),
                 )
             )
         self.stateful = any(p["mu"] > 0 or p["strategy"] == "uzawa"
@@ -349,6 +397,12 @@ def _pair_force(x, p, pstate, x_old, sig=None):
     w_in = w_old if w_old is not None else jnp.zeros((S,), x.dtype)
     fs, fr, lam_new, tt_new, w_new = jax.vmap(per_slave)(
         slave, p["area"], cand, lam_in, tt_in, w_in)
+    sw = p.get("slave_w")
+    if sw is not None:
+        # self-contact: slaves with no admissible opposing face carry no
+        # contact (their padded candidates are placeholders only)
+        fs = fs * sw[:, None]
+        fr = fr * sw[:, None, None, None]
     f = jnp.zeros_like(x)
     f = f.at[slave].add(fs)
     mnodes = mconn[cand]  # (S, K, 4)

@@ -708,6 +708,10 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
             elif key == "contact":
                 from fourc_tpu.contact.penalty import ContactCondition
 
+                if item.get("self"):
+                    # self-contact: one surface is both slave and master
+                    item = dict(item)
+                    item["slave"] = item["master"] = item["surface"]
                 try:  # slave faces (tributary areas, Nitsche consistency)
                     slave_faces = _resolve_faces(disc, item["slave"])
                 except (KeyError, ValueError):
@@ -717,6 +721,7 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                         slave_nodes=_resolve_nodes(disc, item["slave"]),
                         master_faces=_resolve_faces(disc, item["master"]),
                         slave_faces=slave_faces,
+                        self_exclude=bool(item.get("self", False)),
                         penalty=float(item.get("penalty", 1e5)),
                         n_candidates=int(item.get("candidates", 4)),
                         strategy=str(item.get("strategy", "penalty")),
