@@ -285,6 +285,32 @@ def stencil_matvec_flat(K, v, spec: LatticeSpec):
     return from_lattice(out, spec)
 
 
+def make_tangent_flat(spec: LatticeSpec, cell, material, mass_coef,
+                      interpret=False):
+    """(u, v) -> K(u) v + mass_coef * M v fused in one Pallas pass
+    (consistent mass; mass_coef excludes rho — folded here).  Returns
+    None off-TPU or for unsupported materials: callers fall back to
+    jvp-of-residual + separate mass stencil."""
+    from fourc_tpu.materials.elastic import lame
+
+    if not (_use_pallas() or interpret):
+        return None
+    name = type(material).__name__.lower()
+    if "neohooke" in name and "plastic" not in name:
+        model = "neohooke"
+    elif "stvenant" in name and "scatra" not in name and "thermo" not in name:
+        model = "svk"
+    else:
+        return None
+    lam, mu = (float(x) for x in lame(material.youngs, material.nue))
+    rho = float(getattr(material, "density", 0.0) or 0.0)
+    G, wdet = uniform_geometry(cell, spec)
+    from fourc_tpu.ops import lattice_pallas as lp
+
+    return lp.make_tangent_flat(spec, G, wdet, cell.N, lam, mu, model,
+                                rho * float(mass_coef), interpret=interpret)
+
+
 def make_force_flat(spec: LatticeSpec, cell, material):
     """Returns flat-vector internal-force fn u -> f with a custom jvp that
     routes Newton-Krylov matvecs to the fused tangent kernel, or None when

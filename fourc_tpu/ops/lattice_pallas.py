@@ -187,7 +187,11 @@ def _force_kernel(spec, G, wdet, lam, mu, model, wyz_ref, um, uc, up,
 
 
 def _jvp_kernel(spec, G, wdet, lam, mu, model, wyz_ref, um, uc, up,
-                vm, vc, vp, out_ref, Wu, Wv):
+                vm, vc, vp, out_ref, Wu, Wv, Nf=None, mcoef=0.0):
+    """Tangent apply; with mcoef != 0 the consistent-mass shift
+    mcoef * M v is FUSED into the same pass (one HBM sweep instead of a
+    separate mass-stencil kernel — the dynamic Newton operator is
+    K(u) v + c M v)."""
     ny, nz = spec.pshape[1] + 1, spec.pshape[2] + 1
     i = pl.program_id(0)
     _build_window(um, uc, up, Wu)
@@ -202,7 +206,7 @@ def _jvp_kernel(spec, G, wdet, lam, mu, model, wyz_ref, um, uc, up,
             m3 = _masks_chunk(i, layer, spec, wyz_ref, y0, ty, nz)
             for g in range(len(wdet)):
                 _, H = _grad_h(Wu, layer, G[g], m3, y0, ty, nz)
-                _, Hd = _grad_h(Wv, layer, G[g], m3, y0, ty, nz)
+                ue_v, Hd = _grad_h(Wv, layer, G[g], m3, y0, ty, nz)
                 A = _strain_A(H)
                 Ad = [[Hd[a][b] + Hd[b][a]
                        + sum(Hd[k][a] * H[k][b] + H[k][a] * Hd[k][b]
@@ -217,6 +221,15 @@ def _jvp_kernel(spec, G, wdet, lam, mu, model, wyz_ref, um, uc, up,
                 P2 = _mm(F, Sd)
                 Pd = [[P1[a][b] + P2[a][b] for b in range(3)] for a in range(3)]
                 _accum_force(Pd, G[g], wdet[g], layer, acc)
+                if mcoef != 0.0:
+                    cg = mcoef * wdet[g]
+                    vbar = [sum(Nf[g][b] * ue_v[b][ci] for b in range(8))
+                            * m3 for ci in range(3)]
+                    for a in _A_OF_LAYER[layer]:
+                        base = _acc_idx(a)
+                        for ci in range(3):
+                            acc[base + ci] = acc[base + ci] + (
+                                cg * Nf[g][a]) * vbar[ci]
         _write_chunk(acc, out_ref, y0, ty, nz)
 
 
@@ -325,13 +338,15 @@ def _run_force(u, spec, Gf, wf, lam, mu, model, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "spec", "Gf", "wf", "lam", "mu", "model", "interpret"))
-def _run_jvp(u, v, spec, Gf, wf, lam, mu, model, interpret=False):
+    "spec", "Gf", "wf", "lam", "mu", "model", "interpret", "Nf", "mcoef"))
+def _run_jvp(u, v, spec, Gf, wf, lam, mu, model, interpret=False,
+             Nf=None, mcoef=0.0):
     in_specs, out_spec, out_shape, window, nb = _specs(spec, 2)
     Y, Z = spec.pshape[1] + 2, spec.pshape[2] + 2
     uw = _prep(u, spec)
     vw = _prep(v, spec)
-    kern = functools.partial(_jvp_kernel, spec, Gf, wf, lam, mu, model)
+    kern = functools.partial(_jvp_kernel, spec, Gf, wf, lam, mu, model,
+                             Nf=Nf, mcoef=mcoef)
     out = pl.pallas_call(
         kern, grid=(nb,), in_specs=in_specs, out_specs=out_spec,
         out_shape=out_shape,
@@ -359,3 +374,20 @@ def make_force_flat(spec: LatticeSpec, G, wdet, lam, mu, model,
         return y, dy
 
     return force
+
+
+def make_tangent_flat(spec: LatticeSpec, G, wdet, N, lam, mu, model,
+                      mcoef, interpret=False):
+    """(u, v) -> K(u) v + mcoef * M v in ONE fused Pallas pass.
+
+    mcoef folds rho and the integrator mass shift; M is the consistent
+    mass (sum_g wdet N_a N_b), identical to the collapsed mass stencil.
+    """
+    Gf, wf = _bake_geom(G, wdet)
+    Nf = tuple(tuple(float(x) for x in row) for row in np.asarray(N))
+
+    def tangent(u, v):
+        return _run_jvp(u, v, spec, Gf, wf, lam, mu, model, interpret,
+                        Nf=Nf, mcoef=float(mcoef))
+
+    return tangent

@@ -266,7 +266,11 @@ class SolidField:
                 self.hoister.register_attr(con, "lam_buf")
         for key in self.block_X:
             self.hoister.register_item(self.block_X, key)
-        self.hoister.register_attr(self.dbc, "free_mask")
+        # hoist the f32 mask WEIGHT, not the bool mask: a packed-pred
+        # lattice-sized runtime input faults the TPU worker at ~1M dofs
+        # (round-1 finding, re-confirmed round 2 — NOTES_ROUND2.md); any
+        # residual bool use lowers as a compile-time literal instead
+        self.hoister.register_attr(self.dbc, "_free_w")
         for key, ba in self.dofmap.blocks.items():
             if ba.structured is None:
                 self.hoister.register_attr(ba, "conn")
@@ -863,7 +867,7 @@ def _make_statics_step(f: SolidField, dt: float):
 
         if not con_on:
             res_fn, spread = f._residual_xform(lambda u: residual_with(u, None))
-            u, stats = newton_solve(res_fn, u0, f.dbc.free_mask, M, f.params.newton)
+            u, stats = newton_solve(res_fn, u0, f.dbc.free_w, M, f.params.newton)
             u = spread(u)
             con_new = None
         else:
@@ -875,7 +879,7 @@ def _make_statics_step(f: SolidField, dt: float):
 
             def solve_once(u, con):
                 res_fn, spread = f._residual_xform(lambda uu: residual_with(uu, con))
-                u1, st = newton_solve(res_fn, u, f.dbc.free_mask, M, f.params.newton)
+                u1, st = newton_solve(res_fn, u, f.dbc.free_w, M, f.params.newton)
                 return spread(u1), st
 
             def uz_body(carry):
@@ -927,6 +931,26 @@ def _make_genalpha_step(f: SolidField, dt: float):
 
     con_on = getattr(f, "contact", None) is not None and f.contact.stateful
 
+    # fused Newton operator: on the lattice fast path the exact tangent
+    # K(u) v + (1-am)/(beta dt^2) M v is ONE Pallas pass (half the HBM
+    # sweeps of jvp-of-residual + separate mass stencil).  Only valid
+    # when no other displacement-dependent term enters the residual.
+    matvec_fn = None
+    if (getattr(f, "_lattice_force", None) is not None
+            and not (ra or rb) and f.contact is None and f.ties is None
+            and not f.springs and not getattr(f, "embedded", ())
+            and not f.constraints
+            and all(nb.kind != "pressure" for nb, _, _, _ in f._neumann_data)):
+        from fourc_tpu.ops import lattice as _lat
+
+        _tan = _lat.make_tangent_flat(
+            f.lattice, f._cell(next(iter(f.block_mat))),
+            next(iter(f.block_mat.values())),
+            mass_coef=(1 - am) / ((1 - af) * beta * dt * dt))
+        if _tan is not None:
+            def matvec_fn(u, v, _t=_tan, _fac=(1 - af)):
+                return _fac * _t(u, v)
+
     def step(state):
         t1 = state["t"] + dt
         tm = (1 - af) * t1 + af * state["t"]
@@ -960,7 +984,8 @@ def _make_genalpha_step(f: SolidField, dt: float):
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u0, history=hist, dt=dt, mass_shift=(1 - am) / (beta * dt * dt))
         res_fn, spread = f._residual_xform(residual)
-        u, stats = newton_solve(res_fn, u0, f.dbc.free_mask, M, f.params.newton)
+        u, stats = newton_solve(res_fn, u0, f.dbc.free_w, M, f.params.newton,
+                                matvec_fn=matvec_fn)
         u = spread(u)
 
         v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
@@ -1127,7 +1152,7 @@ def _make_ost_step(f: SolidField, dt: float):
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u0, history=hist, dt=dt, mass_shift=1.0 / (th * dt * dt))
         res_fn, spread = f._residual_xform(residual)
-        u, stats = newton_solve(res_fn, u0, f.dbc.free_mask, M, f.params.newton)
+        u, stats = newton_solve(res_fn, u0, f.dbc.free_w, M, f.params.newton)
         u = spread(u)
 
         v1 = (u - d_n) / (th * dt) - (1 - th) / th * v_n

@@ -175,3 +175,34 @@ def test_pallas_force_jvp_interpret(box):
                                rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(np.asarray(got_jv), np.asarray(want_jv),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_pallas_fused_tangent_mass_interpret(box):
+    """Fused K(u) v + c M v (one pass) == jvp of force + c * consistent
+    mass stencil."""
+    disc, spec = box
+
+    mat = make_material({"type": "neohooke", "youngs": 500.0, "nue": 0.3,
+                         "density": 2.0})
+    cell = get_cell("hex8")
+    u = _rand_u(disc, scale=5e-2, seed=3)
+    v = _rand_u(disc, seed=4)
+    mass_coef = 137.5  # excludes rho (folded inside make_tangent_flat)
+
+    tangent = lat.make_tangent_flat(spec, cell, mat, mass_coef,
+                                    interpret=True)
+    got = tangent(u, v)
+
+    ref_force = lat.make_force_flat(spec, cell, mat)  # XLA ref on CPU
+    _, want_jv = jax.jvp(ref_force, (u,), (v,))
+    # consistent-mass stencil from the collapsed element mass
+    Xe1 = jnp.asarray(disc.coords[disc.blocks["hex8"].conn[:1]])
+    cols = []
+    for k in range(24):
+        ve = jnp.zeros((1, 24)).at[:, k].set(1.0).reshape(1, 8, 3)
+        cols.append(np.asarray(
+            sops.consistent_mass_matvec(Xe1, ve, cell, 2.0)).reshape(24))
+    Me = np.stack(cols, axis=1)
+    Mv = lat.stencil_matvec_flat(lat.collapse_stencil(Me), v, spec)
+    want = np.asarray(want_jv) + mass_coef * np.asarray(Mv)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
