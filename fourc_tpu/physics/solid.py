@@ -935,8 +935,16 @@ def _make_genalpha_step(f: SolidField, dt: float):
     # K(u) v + (1-am)/(beta dt^2) M v is ONE Pallas pass (half the HBM
     # sweeps of jvp-of-residual + separate mass stencil).  Only valid
     # when no other displacement-dependent term enters the residual.
+    # OPT-IN (FOURC_FUSED_TANGENT=1): correct in interpret mode and at
+    # small sizes, but the fused kernel currently produces NaN on real
+    # TPU at 73^3 (same large-shape Mosaic fragility family as the
+    # packed-pred fault, NOTES_ROUND2.md) — default stays on the proven
+    # jvp + mass-stencil pair.
+    import os as _os
+
     matvec_fn = None
-    if (getattr(f, "_lattice_force", None) is not None
+    if (_os.environ.get("FOURC_FUSED_TANGENT", "0") == "1"
+            and getattr(f, "_lattice_force", None) is not None
             and not (ra or rb) and f.contact is None and f.ties is None
             and not f.springs and not getattr(f, "embedded", ())
             and not f.constraints
