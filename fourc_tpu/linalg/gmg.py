@@ -28,27 +28,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _interp_axis(c, axis, n_f):
+def _ax_slice(nd, axis, sl):
+    return tuple(sl if i == axis else slice(None) for i in range(nd))
+
+
+def _interp_axis(c, axis, n_f=None):
     """Linear interpolation along one lattice axis: coarse (m+1) -> fine
-    (2m+1) points. c: (..., m+1, ...)."""
-    c = jnp.moveaxis(c, axis, 0)
-    m1 = c.shape[0]
-    f_shape = (2 * (m1 - 1) + 1,) + c.shape[1:]
+    (2m+1) points.  Axis-local slicing, NO moveaxis: the transposes of
+    the (p,p,p,ndpn) lattice dominated the measured V-cycle cost on TPU
+    (relayout copies per axis per level)."""
+    nd = c.ndim
+    m1 = c.shape[axis]
+    f_shape = c.shape[:axis] + (2 * (m1 - 1) + 1,) + c.shape[axis + 1:]
     f = jnp.zeros(f_shape, c.dtype)
-    f = f.at[0::2].set(c)
-    f = f.at[1::2].set(0.5 * (c[:-1] + c[1:]))
-    return jnp.moveaxis(f, 0, axis)
+    f = f.at[_ax_slice(nd, axis, slice(0, None, 2))].set(c)
+    lo = c[_ax_slice(nd, axis, slice(0, m1 - 1))]
+    hi = c[_ax_slice(nd, axis, slice(1, m1))]
+    f = f.at[_ax_slice(nd, axis, slice(1, None, 2))].set(0.5 * (lo + hi))
+    return f
 
 
 def _restrict_axis(f, axis):
     """Transpose of _interp_axis: fine (2m+1) -> coarse (m+1) points."""
-    f = jnp.moveaxis(f, axis, 0)
-    even = f[0::2]
-    odd = f[1::2]
+    nd = f.ndim
+    even = f[_ax_slice(nd, axis, slice(0, None, 2))]
+    odd = f[_ax_slice(nd, axis, slice(1, None, 2))]
     c = even
-    c = c.at[:-1].add(0.5 * odd)
-    c = c.at[1:].add(0.5 * odd)
-    return jnp.moveaxis(c, 0, axis)
+    c = c.at[_ax_slice(nd, axis, slice(0, -1))].add(0.5 * odd)
+    c = c.at[_ax_slice(nd, axis, slice(1, None))].add(0.5 * odd)
+    return c
 
 
 class StructuredGMG:

@@ -206,3 +206,17 @@ def test_pallas_fused_tangent_mass_interpret(box):
     Mv = lat.stencil_matvec_flat(lat.collapse_stencil(Me), v, spec)
     want = np.asarray(want_jv) + mass_coef * np.asarray(Mv)
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_stencil_mxu_matches_ref(box):
+    """im2col MXU stencil == scalar-FMA reference stencil (f32 cast)."""
+    disc, spec = box
+    rng = np.random.RandomState(7)
+    B = rng.randn(24, 24)
+    K = (B + B.T).reshape(8, 3, 8, 3)
+    v = _rand_u(disc, seed=11)
+    want = lat.from_lattice(
+        lat.stencil_matvec_ref(K, lat.to_lattice(v, spec), spec), spec)
+    got = lat.stencil_matvec_mxu(K, v, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
