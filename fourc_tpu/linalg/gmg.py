@@ -105,9 +105,16 @@ class StructuredGMG:
             mask = mask[tuple(slice(None, None, 2) for _ in range(dim))]
 
         self.n_smooth = n_smooth
+        import os
+
+        # sharp lambda_max from a few power iterations (one small jitted
+        # program per level) instead of the Gershgorin bound: a tighter
+        # Chebyshev interval strengthens the smoother at zero per-apply
+        # cost.  FOURC_GMG_POWER=0 restores the bound-only setup.
+        pit = int(os.environ.get("FOURC_GMG_POWER", "12"))
         for lv in self.levels:
-            lv.setup_chebyshev(cheby_degree)
-        self.levels[-1].setup_chebyshev(max(cheby_degree, 6))
+            lv.setup_chebyshev(cheby_degree, power_iters=pit)
+        self.levels[-1].setup_chebyshev(max(cheby_degree, 6), power_iters=pit)
 
     # -- transfers ----------------------------------------------------------
 
@@ -332,12 +339,14 @@ class _Level:
             return
         n = self.free.shape[0]
         key = jax.random.PRNGKey(0)
-        x0 = jnp.where(self.free, jax.random.normal(key, (n,), self.dinv.dtype), 0.0)
+        # f32 arithmetic masking, never jnp.where(bool) next to the Pallas
+        # matvec (see class NOTE)
+        x0 = self.w * jax.random.normal(key, (n,), self.dinv.dtype)
 
         def power(x):
             def body(i, carry):
                 x, _ = carry
-                y = jnp.where(self.free, self.dinv * self.matvec(x), 0.0)
+                y = self.w * (self.dinv * self.matvec(x))
                 lm = jnp.linalg.norm(y) / jnp.maximum(jnp.linalg.norm(x), 1e-30)
                 return (y / jnp.maximum(jnp.linalg.norm(y), 1e-30), lm)
 
