@@ -1,0 +1,161 @@
+"""Micro-profile of the flagship-bench hot path at BENCH_N (default 72).
+
+Usage: python tools/profile_hot.py <piece> [reps]
+pieces: stencil vcycle jvp jvp_fused force mass cg step prep
+
+Each piece should run in its OWN process (a TPU worker crash poisons the
+process, and concurrent probes contaminate timings — round-2 notes).
+Timing: N async dispatches + ONE scalar fetch at the end (on the remote
+axon platform block_until_ready returns at dispatch).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_field(n):
+    import jax.numpy as jnp
+
+    from fourc_tpu.core import gridgen
+    from fourc_tpu.core.conditions import DirichletBC, NeumannBC
+    from fourc_tpu.core.functions import FunctionManager
+    from fourc_tpu.materials import make_material
+    from fourc_tpu.physics import solid as ps
+
+    disc = gridgen.box(n, n, n, cell="hex8")
+    mat = make_material({"type": "neohooke", "youngs": 1.0e4, "nue": 0.3,
+                         "density": 1.0})
+    params = ps.SolidParams(kinem="nonlinear", dyntype="genalpha",
+                            genalpha=ps.GenAlphaParams(rho_inf=0.9),
+                            precond="gmg")
+    fm = FunctionManager()
+    fm.add(1, "sin(31.4159*t)")
+    dbc = [DirichletBC(disc.node_sets["zmin"], [1, 1, 1], [0, 0, 0])]
+    neu = [NeumannBC(disc.face_sets["zmax"], [1, 0, 0], [120.0, 0, 0],
+                     funct=[1, 0, 0])]
+    f = ps.SolidField(disc, {1: mat}, params, dirichlet=dbc, neumann=neu,
+                      functions=fm)
+    return f, ps
+
+
+def timeit(fn, x, reps, fetch):
+    import jax
+
+    # warm (compile)
+    y = fn(x)
+    _ = fetch(y)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = fn(y) if y.shape == x.shape else fn(x)
+    _ = fetch(y)
+    dt = (time.perf_counter() - t0) / reps
+    return dt
+
+
+def main():
+    piece = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    n = int(os.environ.get("BENCH_N", "72"))
+
+    import jax
+    import jax.numpy as jnp
+
+    f, ps = build_field(n)
+    ndof = f.disc.n_nodes * 3
+    key = jax.random.PRNGKey(0)
+    v = 1e-3 * jax.random.normal(key, (ndof,), jnp.float32)
+    u = 1e-3 * jax.random.normal(jax.random.PRNGKey(1), (ndof,), jnp.float32)
+
+    def fetch(y):
+        return float(y.reshape(-1)[0])
+
+    dt = f.params.dt if f.params.dt else 0.02
+    ga = f.params.genalpha
+    mass_shift = (1 - ga.alpha_m) / (ga.beta * dt * dt)
+
+    if piece in ("stencil", "vcycle"):
+        from fourc_tpu.linalg import gmg
+
+        M = gmg.build_for_solid(f, mass_shift=mass_shift)
+        lv = M.levels[0]
+        if piece == "stencil":
+            g = jax.jit(lv.matvec)
+        else:
+            g = jax.jit(M)
+        t = timeit(g, v, reps, fetch)
+    elif piece in ("jvp", "force", "jvp_fused", "mass"):
+        from fourc_tpu.ops import lattice as lat
+
+        spec = f.lattice
+        cell = f._cell(next(iter(f.block_mat)))
+        mat = next(iter(f.block_mat.values()))
+        if piece == "force":
+            fn = lat.make_force_flat(spec, cell, mat)
+            g = jax.jit(fn)
+            t = timeit(g, u, reps, fetch)
+        elif piece == "mass":
+            g = jax.jit(lambda x: f.mass_matvec(x))
+            t = timeit(g, v, reps, fetch)
+        else:
+            mc = mass_shift if piece == "jvp_fused" else 0.0
+            tan = lat.make_tangent_flat(spec, cell, mat, mass_coef=mc)
+            g = jax.jit(lambda x: tan(u, x))
+            t = timeit(g, v, reps, fetch)
+    elif piece == "prep":
+        from fourc_tpu.ops import lattice_pallas as lp
+
+        spec = f.lattice
+        g = jax.jit(lambda x: lp._post(lp._prep(x, spec), spec))
+        t = timeit(g, v, reps, fetch)
+    elif piece == "residual":
+        # gen-alpha residual as built in the step (force + mass + ext)
+        state = ps.compute_initial_state(f, ps.init_state(f))
+
+        def res(d_new):
+            fi, _ = f.internal_force(d_new, dt=dt)
+            return fi + mass_shift * f.mass_matvec(d_new) - f.external_force(
+                0.01, d_new)
+
+        g = jax.jit(res)
+        t = timeit(g, u, reps, fetch)
+    elif piece == "cg":
+        from fourc_tpu.linalg import gmg, solvers as ls
+
+        M = gmg.build_for_solid(f, mass_shift=mass_shift)
+
+        def res(d_new):
+            fi, _ = f.internal_force(d_new, dt=dt)
+            return fi + mass_shift * f.mass_matvec(d_new)
+
+        w = f.dbc.free_w
+
+        def A(x):
+            xm = w * x
+            _, jv = jax.jvp(res, (u,), (xm,))
+            return w * jv + (1.0 - w) * x
+
+        b = w * v
+
+        def solve(bb):
+            r = ls.cg(A, bb, M=M, tol=1e-4, maxiter=20)
+            return r.x
+
+        g = jax.jit(solve)
+        y = g(b)
+        _ = fetch(y)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = g(b)
+        _ = fetch(y)
+        t = (time.perf_counter() - t0) / reps
+    else:
+        raise SystemExit(f"unknown piece {piece}")
+
+    print(f"PIECE {piece} n={n} reps={reps}: {1e3 * t:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
