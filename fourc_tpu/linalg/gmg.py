@@ -146,14 +146,16 @@ class StructuredGMG:
         lv = self.levels[k]
         r = r * lv.w
         if k == len(self.levels) - 1:
-            return lv.chebyshev(r, jnp.zeros_like(r))
-        z = lv.chebyshev(r, jnp.zeros_like(r))
-        res = r - lv.matvec(z)
+            return lv.chebyshev0(r)
+        # pre-smooth from zero, residual fused into the smoother's own
+        # matvec chain (see chebyshev0): degree matvecs total, vs
+        # degree + 2 for smooth-from-zero + separate residual
+        z, res = lv.chebyshev0(r, return_res=True)
         z_c = self.v_cycle(self._restrict(res, lv, self.levels[k + 1]), k + 1)
         z = z + self._interp(z_c, lv, self.levels[k + 1])
-        # post-smooth
+        # post-smooth (no residual needed afterwards)
         res = r - lv.matvec(z)
-        z = z + lv.chebyshev(res, jnp.zeros_like(res))
+        z = z + lv.chebyshev0(res)
         return z
 
     def __call__(self, r):
@@ -371,6 +373,33 @@ class _Level:
             d = rho * rho_old * d + (2.0 * rho / delta) * r
             x = x + d
             rho_old = rho
+        return x
+
+    def chebyshev0(self, b, return_res=False):
+        """chebyshev(b, x=0), minus the wasted A·0 matvec (XLA cannot fold
+        a zero input through the Pallas stencil call).  With
+        ``return_res`` also returns the TRUE residual b - A x, reusing the
+        smoother's own matvecs for all but the final increment: degree
+        matvecs total, identical math to chebyshev + separate residual."""
+        theta = 0.5 * (self.lmax + self.lmin)
+        delta = 0.5 * (self.lmax - self.lmin)
+        sigma = theta / delta
+        rho_old = 1.0 / sigma
+        r = self.dinv * b
+        d = r / theta
+        x = d
+        rt = b
+        for _ in range(self.degree - 1):
+            t = self.matvec(d)
+            if return_res:
+                rt = rt - t
+            rho = 1.0 / (2.0 * sigma - rho_old)
+            r = r - self.dinv * t
+            d = rho * rho_old * d + (2.0 * rho / delta) * r
+            x = x + d
+            rho_old = rho
+        if return_res:
+            return x, rt - self.matvec(d)
         return x
 
 

@@ -13,6 +13,10 @@ import os
 import sys
 import time
 
+# repo root on sys.path (script dir is tools/); PYTHONPATH must stay unset —
+# it breaks the axon TPU plugin's jax_plugins namespace-package discovery
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
