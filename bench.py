@@ -32,6 +32,11 @@ def main():
     precond = os.environ.get(
         "BENCH_PRECOND", "gmg" if mesh_kind == "lattice" else "amg")
     host_newton = os.environ.get("BENCH_HOST_NEWTON", "0") == "1"
+    # wide-layout lattice stepping (physics/solid_lattice.py): the whole
+    # Newton-Krylov loop stays in the (3, X, Y, Z) kernel layout — no
+    # flat<->lattice relayouts in the hot path.  Falls back to the flat
+    # step automatically when ineligible (unstructured mesh, etc).
+    wide = os.environ.get("BENCH_WIDE", "1") == "1" and mesh_kind == "lattice"
 
     disc = gridgen.box(n, n, n, cell="hex8")
     if mesh_kind == "unstructured":
@@ -55,6 +60,7 @@ def main():
         genalpha=ps.GenAlphaParams(rho_inf=0.9),
         precond=precond,
         host_newton=host_newton,
+        wide=wide,
     )
     # f32 on TPU: relative residual drop of 1e-4 (the measured f32 residual
     # floor for this problem is ~3e-5 relative; BASELINE's 1e-8 abs maps to
@@ -94,7 +100,7 @@ def main():
         # a host FETCH, not block_until_ready: on the remote (axon)
         # platform block_until_ready can return before execution finishes,
         # which times only the dispatch
-        return float(st["d"][0])
+        return float(st["d"].reshape(-1)[0])
 
     # warmup (compile + first step)
     t0 = time.perf_counter()
@@ -139,6 +145,7 @@ def main():
             "fetch_rtt_ms": round(rtt_ms, 2),
             "dofs_per_sec": round(ndof / (ms / 1e3)),
             "precond": precond,
+            "wide_layout": bool(state["d"].ndim == 4),
             "device": str(jax.devices()[0]),
         },
     }

@@ -126,14 +126,28 @@ class StructuredGMG:
     # program (worker crash reproduced at 73^3; each piece alone is fine —
     # see round-2 notes).  Eager/setup math may keep using `lv.free`.
 
-    def _interp(self, z_c, lv_f, lv_c):
+    def _interp(self, z_c, lv_f, lv_c, wide=False):
+        if wide:
+            from fourc_tpu.ops import lattice_pallas as lp
+
+            z = lp.crop_real(z_c, lv_c._lattice_spec)
+            for ax in range(self.dim):
+                z = _interp_axis(z, 1 + ax, None)
+            return lp.widen_real(z, lv_f._lattice_spec) * lv_f.w_wide
         z = z_c.reshape(lv_c.pshape + (self.ndpn,))
         for ax in range(self.dim):
             z = _interp_axis(z, ax, None)
         z = z.reshape(-1)
         return z * lv_f.w
 
-    def _restrict(self, r_f, lv_f, lv_c):
+    def _restrict(self, r_f, lv_f, lv_c, wide=False):
+        if wide:
+            from fourc_tpu.ops import lattice_pallas as lp
+
+            r = lp.crop_real(r_f, lv_f._lattice_spec)
+            for ax in range(self.dim):
+                r = _restrict_axis(r, 1 + ax)
+            return lp.widen_real(r, lv_c._lattice_spec) * lv_c.w_wide
         r = r_f.reshape(lv_f.pshape + (self.ndpn,))
         for ax in range(self.dim):
             r = _restrict_axis(r, ax)
@@ -142,26 +156,36 @@ class StructuredGMG:
 
     # -- cycle ----------------------------------------------------------------
 
-    def v_cycle(self, r, k=0):
+    @property
+    def wide_ok(self):
+        """All levels can run the wide-layout (relayout-free) V-cycle."""
+        return all(lv._lattice_spec is not None for lv in self.levels)
+
+    def v_cycle(self, r, k=0, wide=False):
         lv = self.levels[k]
-        r = r * lv.w
+        r = r * (lv.w_wide if wide else lv.w)
         if k == len(self.levels) - 1:
-            return lv.chebyshev0(r)
+            return lv.chebyshev0(r, wide=wide)
         # pre-smooth from zero, residual fused into the smoother's own
         # matvec chain (see chebyshev0): degree matvecs total, vs
         # degree + 2 for smooth-from-zero + separate residual
-        z, res = lv.chebyshev0(r, return_res=True)
-        z_c = self.v_cycle(self._restrict(res, lv, self.levels[k + 1]), k + 1)
-        z = z + self._interp(z_c, lv, self.levels[k + 1])
+        z, res = lv.chebyshev0(r, return_res=True, wide=wide)
+        z_c = self.v_cycle(self._restrict(res, lv, self.levels[k + 1], wide),
+                           k + 1, wide)
+        z = z + self._interp(z_c, lv, self.levels[k + 1], wide)
         # post-smooth (no residual needed afterwards)
-        res = r - lv.matvec(z)
-        z = z + lv.chebyshev0(res)
+        res = r - lv.matvec_wide(z) if wide else r - lv.matvec(z)
+        z = z + lv.chebyshev0(res, wide=wide)
         return z
 
     def __call__(self, r):
-        # mask-safe: constrained entries pass through (unit diagonal)
-        z = self.v_cycle(r)
-        w = self.levels[0].w
+        # wide-layout (3, X, Y, Z) inputs run the relayout-free cycle
+        # (see ops/lattice_pallas.py wide_shape); flat dof vectors the
+        # classic one.  mask-safe either way: constrained entries pass
+        # through (unit diagonal).
+        wide = r.ndim == 4
+        z = self.v_cycle(r, wide=wide)
+        w = self.levels[0].w_wide if wide else self.levels[0].w
         return w * z + (1.0 - w) * r
 
 
@@ -277,6 +301,16 @@ class _Level:
         self.gersh_lmax = float(jnp.max(jnp.where(
             self.free, rowabs / jnp.maximum(diag, 1e-30), 0.0)))
 
+        # wide-layout buffers (eager, host-built): the relayout-free cycle
+        # keeps every vector in (3, X, Y, Z) lattice layout end to end
+        if self._lattice_spec is not None:
+            from fourc_tpu.ops import lattice_pallas as lp
+
+            self.w_wide = lp.prep(self.w, self._lattice_spec)
+            self.dinv_wide = lp.prep(self.dinv, self._lattice_spec)
+            self.mlump_wide = (None if self.mlump is None
+                               else lp.prep(self.mlump, self._lattice_spec))
+
     def _gather(self, u):
         u3 = u.reshape(self.pshape + (self.ndpn,))
         E = int(np.prod(self.shape))
@@ -308,6 +342,21 @@ class _Level:
                 out = out + self.mass_coeff * self.mlump * vm
             return w * out + (1.0 - w) * v
         ve = self._gather(vm)  # (E, nen, ndpn)
+        return self._matvec_gather(ve, vm, v, w)
+
+    def matvec_wide(self, vw):
+        """Wide-layout level operator apply (see StructuredGMG.__call__)."""
+        from fourc_tpu.ops import lattice as _lat
+
+        w = self.w_wide
+        vm = w * vw
+        out = _lat.stencil_matvec_wide(self._Kstencil, vm,
+                                       self._lattice_spec)
+        if self.mlump_wide is not None:
+            out = out + self.mass_coeff * self.mlump_wide * vm
+        return w * out + (1.0 - w) * vw
+
+    def _matvec_gather(self, ve, vm, v, w):
         E = ve.shape[0]
         vt = jnp.transpose(ve.reshape(E, -1))  # (m, E)
         # full f32 precision is REQUIRED here: TPU's default matmul
@@ -375,31 +424,33 @@ class _Level:
             rho_old = rho
         return x
 
-    def chebyshev0(self, b, return_res=False):
+    def chebyshev0(self, b, return_res=False, wide=False):
         """chebyshev(b, x=0), minus the wasted A·0 matvec (XLA cannot fold
         a zero input through the Pallas stencil call).  With
         ``return_res`` also returns the TRUE residual b - A x, reusing the
         smoother's own matvecs for all but the final increment: degree
         matvecs total, identical math to chebyshev + separate residual."""
+        matvec = self.matvec_wide if wide else self.matvec
+        dinv = self.dinv_wide if wide else self.dinv
         theta = 0.5 * (self.lmax + self.lmin)
         delta = 0.5 * (self.lmax - self.lmin)
         sigma = theta / delta
         rho_old = 1.0 / sigma
-        r = self.dinv * b
+        r = dinv * b
         d = r / theta
         x = d
         rt = b
         for _ in range(self.degree - 1):
-            t = self.matvec(d)
+            t = matvec(d)
             if return_res:
                 rt = rt - t
             rho = 1.0 / (2.0 * sigma - rho_old)
-            r = r - self.dinv * t
+            r = r - dinv * t
             d = rho * rho_old * d + (2.0 * rho / delta) * r
             x = x + d
             rho_old = rho
         if return_res:
-            return x, rt - self.matvec(d)
+            return x, rt - matvec(d)
         return x
 
 

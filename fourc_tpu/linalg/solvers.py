@@ -47,9 +47,13 @@ def cg(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
     reference's Belos default (relative residual on the right-hand side).
     """
     M = M or _identity
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-
-    r0 = b - A(x0)
+    if x0 is None:
+        # zero start: r0 = b exactly (A is linear); skips one matvec —
+        # XLA cannot fold A(0) through a Pallas-backed operator
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - A(x0)
     z0 = M(r0)
     rz0 = _dot(r0, z0)
     bnorm = jnp.linalg.norm(b)
@@ -180,8 +184,11 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
 def bicgstab(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
     """BiCGStab (right-preconditioned), for nonsymmetric systems."""
     M = M or _identity
-    x0 = jnp.zeros_like(b) if x0 is None else x0
-    r0 = b - A(x0)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b  # zero start: skip the A(0) matvec (A linear)
+    else:
+        r0 = b - A(x0)
     rhat = r0
     bnorm = jnp.linalg.norm(b)
     stop = jnp.maximum(tol * bnorm, atol)

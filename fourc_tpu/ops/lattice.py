@@ -345,6 +345,73 @@ def make_tangent_flat(spec: LatticeSpec, cell, material, mass_coef,
                                 rho * float(mass_coef), interpret=interpret)
 
 
+def _material_model(material):
+    """Stencil-kernel model name for a material, or None if unsupported."""
+    name = type(material).__name__.lower()
+    if "neohooke" in name and "plastic" not in name:
+        return "neohooke"
+    if "stvenant" in name and "scatra" not in name and "thermo" not in name:
+        return "svk"
+    return None
+
+
+# -- wide-layout dispatchers (Pallas on TPU, XLA reference off-TPU) ---------
+#
+# The wide (3, nb*BX + 2*BX, Y, Z) layout is the Pallas kernels' native
+# in/out layout (lattice_pallas.wide_shape); slicing off the BX x-guard
+# bands yields exactly the padded-lattice (3, px+2, py+2, pz+2) layout the
+# XLA reference stencils consume — so the CPU fallback is a cheap slice +
+# ref-op + zero-repad, NOT interpret-mode Pallas (whose compile time inside
+# the Newton while_loop is minutes even at 5^3).
+
+
+def _wide_to_lat(xw, spec: LatticeSpec):
+    from fourc_tpu.ops.lattice_pallas import BX
+
+    return xw[:, BX:BX + spec.pshape[0] + 2]
+
+
+def _lat_to_wide(x, spec: LatticeSpec):
+    from fourc_tpu.ops import lattice_pallas as lp
+
+    return lp.widen_real(x[:, 1:-1, 1:-1, 1:-1], spec)
+
+
+def stencil_matvec_wide(K, vw, spec: LatticeSpec):
+    """y = A v in the wide layout (level-operator / mass apply)."""
+    if _use_pallas():
+        from fourc_tpu.ops import lattice_pallas as lp
+
+        return _linear_op(lambda x: lp.stencil_matvec_wide(K, x, spec))(vw)
+    Kc = np.asarray(K, np.float64)
+    return _linear_op(
+        lambda x: _lat_to_wide(
+            stencil_matvec_ref(Kc, _wide_to_lat(x, spec), spec), spec))(vw)
+
+
+def make_force_wide(spec: LatticeSpec, cell, material):
+    """Wide-layout internal force u_w -> f_w (jvp-capable); None when the
+    material is unsupported."""
+    from fourc_tpu.materials.elastic import lame
+
+    model = _material_model(material)
+    if model is None:
+        return None
+    lam, mu = (float(x) for x in lame(material.youngs, material.nue))
+    G, wdet = uniform_geometry(cell, spec)
+    if _use_pallas():
+        from fourc_tpu.ops import lattice_pallas as lp
+
+        return lp.make_force_wide(spec, G, wdet, lam, mu, model)
+
+    def force(uw):
+        out = neo_force_ref(_wide_to_lat(uw, spec), spec, G, wdet, lam, mu,
+                            model)
+        return _lat_to_wide(out, spec)
+
+    return force
+
+
 def make_force_flat(spec: LatticeSpec, cell, material):
     """Returns flat-vector internal-force fn u -> f with a custom jvp that
     routes Newton-Krylov matvecs to the fused tangent kernel, or None when

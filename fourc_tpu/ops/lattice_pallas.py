@@ -249,12 +249,13 @@ def _xblocks(spec: LatticeSpec):
 
 
 def _prep(v, spec: LatticeSpec):
-    """Flat dof vector -> wide padded lattice (3, nb*BX + 2*BX, Y, Z)."""
+    """Flat dof vector -> wide padded lattice (3, nb*BX + 2*BX, Y, Z).
+    Dtype-preserving: the Pallas kernels are f32 (TPU runs f32 anyway);
+    the CPU/f64 test path keeps f64 through the XLA-reference fallbacks."""
     px, py, pz = spec.pshape
     nb = _xblocks(spec)
     Xp = nb * BX
-    x = jnp.transpose(v.reshape(px, py, pz, 3).astype(jnp.float32),
-                      (3, 0, 1, 2))
+    x = jnp.transpose(v.reshape(px, py, pz, 3), (3, 0, 1, 2))
     return jnp.pad(x, ((0, 0), (BX + 1, BX + Xp - px - 1), (1, 1), (1, 1)))
 
 
@@ -288,6 +289,21 @@ def _specs(spec: LatticeSpec, n_lat_inputs):
     return in_specs, out_spec, out_shape, window, nb
 
 
+def wide_shape(spec: LatticeSpec):
+    """Shape of the wide padded lattice layout (3, nb*BX + 2*BX, Y, Z) —
+    the layout every hot-path kernel consumes and produces.  Real node
+    (i, j, k) lives at [:, BX+1+i, 1+j, 1+k]; everything else is zero."""
+    nb = _xblocks(spec)
+    return (3, nb * BX + 2 * BX, spec.pshape[1] + 2, spec.pshape[2] + 2)
+
+
+def _rewiden(out):
+    """Kernel output (3, nb*BX, Y, Z) -> wide layout: out row j is wide row
+    BX + j, and the kernel's masked ghost rows are exactly zero, so a zero
+    x-pad of BX on both sides reproduces the wide layout."""
+    return jnp.pad(out, ((0, 0), (BX, BX), (0, 0), (0, 0)))
+
+
 def _run_stencil(K, v, spec: LatticeSpec, interpret=False):
     Kf = tuple(tuple(tuple(tuple(float(x) for x in r3) for r3 in r2)
                      for r2 in r1)
@@ -296,16 +312,32 @@ def _run_stencil(K, v, spec: LatticeSpec, interpret=False):
 
 
 @functools.partial(jax.jit, static_argnames=("Kf", "spec", "interpret"))
-def _run_stencil_inner(Kf, v, spec: LatticeSpec, interpret=False):
+def _stencil_wide(Kf, vw, spec: LatticeSpec, interpret=False):
+    """y = A v in WIDE layout (no flat<->lattice transposes: the measured
+    hot-path cost at 1M dofs is the relayout, not the stencil FMAs)."""
     in_specs, out_spec, out_shape, window, nb = _specs(spec, 1)
-    vw = _prep(v, spec)
     kern = functools.partial(_stencil_kernel, spec, Kf)
+    vw = vw.astype(jnp.float32)  # the kernels are f32 (TPU-native dtype)
     out = pl.pallas_call(
         kern, grid=(nb,), in_specs=in_specs, out_specs=out_spec,
         out_shape=out_shape, scratch_shapes=[window],
         compiler_params=_CPARAMS, interpret=interpret,
     )(_wyz(spec), vw, vw, vw)
-    return _post(out, spec).astype(v.dtype)
+    return _rewiden(out)
+
+
+def stencil_matvec_wide(K, vw, spec: LatticeSpec, interpret=False):
+    Kf = tuple(tuple(tuple(tuple(float(x) for x in r3) for r3 in r2)
+                     for r2 in r1)
+               for r1 in np.asarray(K).reshape(8, 3, 8, 3))
+    return _stencil_wide(Kf, vw, spec, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("Kf", "spec", "interpret"))
+def _run_stencil_inner(Kf, v, spec: LatticeSpec, interpret=False):
+    vw = _prep(v, spec)
+    return _post(_stencil_wide(Kf, vw, spec, interpret)[:, BX:-BX],
+                 spec).astype(v.dtype)
 
 
 def stencil_matvec_flat(K, v, spec: LatticeSpec, interpret=False):
@@ -325,28 +357,33 @@ def _bake_geom(G, wdet):
 
 @functools.partial(jax.jit, static_argnames=(
     "spec", "Gf", "wf", "lam", "mu", "model", "interpret"))
-def _run_force(u, spec, Gf, wf, lam, mu, model, interpret=False):
+def _force_wide(uw, spec, Gf, wf, lam, mu, model, interpret=False):
     in_specs, out_spec, out_shape, window, nb = _specs(spec, 1)
-    uw = _prep(u, spec)
     kern = functools.partial(_force_kernel, spec, Gf, wf, lam, mu, model)
+    uw = uw.astype(jnp.float32)
     out = pl.pallas_call(
         kern, grid=(nb,), in_specs=in_specs, out_specs=out_spec,
         out_shape=out_shape, scratch_shapes=[window],
         compiler_params=_CPARAMS, interpret=interpret,
     )(_wyz(spec), uw, uw, uw)
-    return _post(out, spec).astype(u.dtype)
+    return _rewiden(out)
+
+
+def _run_force(u, spec, Gf, wf, lam, mu, model, interpret=False):
+    uw = _prep(u, spec)
+    out = _force_wide(uw, spec, Gf, wf, lam, mu, model, interpret)
+    return _post(out[:, BX:-BX], spec).astype(u.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "spec", "Gf", "wf", "lam", "mu", "model", "interpret", "Nf", "mcoef"))
-def _run_jvp(u, v, spec, Gf, wf, lam, mu, model, interpret=False,
-             Nf=None, mcoef=0.0):
+def _jvp_wide(uw, vw, spec, Gf, wf, lam, mu, model, interpret=False,
+              Nf=None, mcoef=0.0):
     in_specs, out_spec, out_shape, window, nb = _specs(spec, 2)
     Y, Z = spec.pshape[1] + 2, spec.pshape[2] + 2
-    uw = _prep(u, spec)
-    vw = _prep(v, spec)
     kern = functools.partial(_jvp_kernel, spec, Gf, wf, lam, mu, model,
                              Nf=Nf, mcoef=mcoef)
+    uw, vw = uw.astype(jnp.float32), vw.astype(jnp.float32)
     out = pl.pallas_call(
         kern, grid=(nb,), in_specs=in_specs, out_specs=out_spec,
         out_shape=out_shape,
@@ -354,7 +391,16 @@ def _run_jvp(u, v, spec, Gf, wf, lam, mu, model, interpret=False,
                         pltpu.VMEM((3, BX + 2, Y, Z), jnp.float32)],
         compiler_params=_CPARAMS, interpret=interpret,
     )(_wyz(spec), uw, uw, uw, vw, vw, vw)
-    return _post(out, spec).astype(u.dtype)
+    return _rewiden(out)
+
+
+def _run_jvp(u, v, spec, Gf, wf, lam, mu, model, interpret=False,
+             Nf=None, mcoef=0.0):
+    uw = _prep(u, spec)
+    vw = _prep(v, spec)
+    out = _jvp_wide(uw, vw, spec, Gf, wf, lam, mu, model, interpret,
+                    Nf=Nf, mcoef=mcoef)
+    return _post(out[:, BX:-BX], spec).astype(u.dtype)
 
 
 def make_force_flat(spec: LatticeSpec, G, wdet, lam, mu, model,
@@ -374,6 +420,52 @@ def make_force_flat(spec: LatticeSpec, G, wdet, lam, mu, model,
         return y, dy
 
     return force
+
+
+def make_force_wide(spec: LatticeSpec, G, wdet, lam, mu, model,
+                    interpret=False):
+    """Wide-layout internal force u_w -> f_w with a custom jvp routed to
+    the tangent kernel — zero flat<->lattice relayouts in the Newton-Krylov
+    loop (the measured dominant cost at 1M dofs)."""
+    Gf, wf = _bake_geom(G, wdet)
+
+    @jax.custom_jvp
+    def force(uw):
+        return _force_wide(uw, spec, Gf, wf, lam, mu, model, interpret)
+
+    @force.defjvp
+    def force_jvp(primals, tangents):
+        (uw,), (vw,) = primals, tangents
+        y = _force_wide(uw, spec, Gf, wf, lam, mu, model, interpret)
+        dy = _jvp_wide(uw, vw, spec, Gf, wf, lam, mu, model, interpret)
+        return y, dy
+
+    return force
+
+
+def prep(v, spec: LatticeSpec):
+    """Flat node-major dof vector -> wide lattice layout."""
+    return _prep(v, spec)
+
+
+def widen_real(x3, spec: LatticeSpec):
+    """Dense component-first real lattice (3, px, py, pz) -> wide layout
+    (dtype-preserving)."""
+    px = spec.pshape[0]
+    Xp = _xblocks(spec) * BX
+    return jnp.pad(x3, ((0, 0), (BX + 1, BX + Xp - px - 1), (1, 1), (1, 1)))
+
+
+def crop_real(xw, spec: LatticeSpec):
+    """Wide layout -> dense component-first real lattice (3, px, py, pz)."""
+    px, py, pz = spec.pshape
+    return xw[:, BX + 1:BX + 1 + px, 1:1 + py, 1:1 + pz]
+
+
+def unprep(xw, spec: LatticeSpec, dtype=None):
+    """Wide lattice layout -> flat node-major dof vector."""
+    out = _post(xw[:, BX:-BX], spec)
+    return out.astype(dtype) if dtype is not None else out
 
 
 def make_tangent_flat(spec: LatticeSpec, G, wdet, N, lam, mu, model,

@@ -79,6 +79,12 @@ class SolidParams:
     # the remote-compile TPU path, where one monolithic step HLO overwhelms
     # the compile service).  Costs one host sync per Newton iteration.
     host_newton: bool = False
+    # wide-layout lattice stepping (physics/solid_lattice.py): keeps the
+    # whole Newton-Krylov loop in the (3, X, Y, Z) kernel layout — no
+    # flat<->lattice relayouts in the hot path (the measured dominant cost
+    # at 1M dofs).  State dicts become wide; use solid_lattice.flatten_state
+    # before io.  Opt-in: the flagship bench path.
+    wide: bool = False
 
 
 class SolidField:
@@ -805,8 +811,8 @@ def make_step(f: SolidField, dt: float | None = None):
         raw = _make_ost_step(f, dt)
     elif typ == "genalpha":
         raw = _make_genalpha_step(f, dt)
-        if f.params.host_newton:
-            return raw  # host loop orchestrating its own jitted programs
+        if f.params.host_newton or getattr(raw, "self_jitted", False):
+            return raw  # orchestrates its own jitted programs
     elif typ in ("explicit", "explicit_central"):
         raw = _make_central_diff_step(f, dt)
     else:
@@ -837,7 +843,10 @@ def _static_precond(f: SolidField, mass_shift: float = 0.0):
             # packed-pred lattice array as a runtime program input crashes
             # the TPU worker (runtime layout fault, reproduced at n=72);
             # as a ~1MB compile-time literal it is harmless
-            for nm in ("Xe", "Ke", "dinv", "mlump", "w"):
+            # w_wide/dinv_wide/mlump_wide are f32 0/1-or-real arrays (safe
+            # as runtime inputs, unlike packed-pred bools)
+            for nm in ("Xe", "Ke", "dinv", "mlump", "w",
+                       "w_wide", "dinv_wide", "mlump_wide"):
                 if getattr(lv, nm, None) is not None:
                     f.hoister.register_attr(lv, nm)
     return M
@@ -928,6 +937,14 @@ def _make_genalpha_step(f: SolidField, dt: float):
     M_gmg = _static_precond(f, mass_shift=(1 - am) / (beta * dt * dt))
     if f.params.host_newton:
         return _make_genalpha_step_host(f, dt, M_gmg)
+
+    if f.params.wide:
+        from fourc_tpu.physics import solid_lattice as _sl
+
+        if _sl.eligible(f):
+            wide_step = _sl.make_wide_genalpha_step(f, dt, M_gmg)
+            if wide_step is not None:
+                return wide_step  # self-jitted (make_step passes through)
 
     con_on = getattr(f, "contact", None) is not None and f.contact.stateful
 

@@ -2,6 +2,7 @@
 
 Usage: python tools/profile_hot.py <piece> [reps]
 pieces: stencil vcycle jvp jvp_fused force mass cg step prep
+       stencil_wide vcycle_wide jvp_wide (relayout-free wide layout)
 
 Each piece should run in its OWN process (a TPU worker crash poisons the
 process, and concurrent probes contaminate timings — round-2 notes).
@@ -46,14 +47,27 @@ def build_field(n):
 
 
 def timeit(fn, x, reps, fetch):
+    """Time `reps` chained applications INSIDE one jitted program (a
+    lax.fori_loop), like the fused step experiences them — per-dispatch
+    tunnel overhead on the remote platform would otherwise dominate
+    (measured ~3 ms/dispatch vs ~0.1 ms/kernel).  Requires fn output
+    shape == input shape (all pieces here are vec -> vec); a tiny scale
+    keeps the chained nonlinear iterates finite."""
     import jax
+    import jax.numpy as jnp
 
-    # warm (compile)
-    y = fn(x)
+    @jax.jit
+    def loop(x0):
+        def body(i, y):
+            z = fn(y)
+            return 1e-3 * z / jnp.maximum(jnp.linalg.norm(z), 1e-30)
+
+        return jax.lax.fori_loop(0, reps, body, x0)
+
+    y = loop(x)  # warm (compile)
     _ = fetch(y)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        y = fn(y) if y.shape == x.shape else fn(x)
+    y = loop(x)
     _ = fetch(y)
     dt = (time.perf_counter() - t0) / reps
     return dt
@@ -80,16 +94,27 @@ def main():
     ga = f.params.genalpha
     mass_shift = (1 - ga.alpha_m) / (ga.beta * dt * dt)
 
-    if piece in ("stencil", "vcycle"):
+    if piece in ("stencil", "vcycle", "stencil_wide", "vcycle_wide"):
         from fourc_tpu.linalg import gmg
 
         M = gmg.build_for_solid(f, mass_shift=mass_shift)
         lv = M.levels[0]
+        x = v
         if piece == "stencil":
             g = jax.jit(lv.matvec)
+        elif piece == "stencil_wide":
+            from fourc_tpu.ops import lattice_pallas as lp
+
+            x = lp.prep(v, f.lattice)
+            g = jax.jit(lv.matvec_wide)
+        elif piece == "vcycle_wide":
+            from fourc_tpu.ops import lattice_pallas as lp
+
+            x = lp.prep(v, f.lattice)
+            g = jax.jit(M)
         else:
             g = jax.jit(M)
-        t = timeit(g, v, reps, fetch)
+        t = timeit(g, x, reps, fetch)
     elif piece in ("jvp", "force", "jvp_fused", "mass"):
         from fourc_tpu.ops import lattice as lat
 
@@ -108,6 +133,17 @@ def main():
             tan = lat.make_tangent_flat(spec, cell, mat, mass_coef=mc)
             g = jax.jit(lambda x: tan(u, x))
             t = timeit(g, v, reps, fetch)
+    elif piece == "jvp_wide":
+        from fourc_tpu.ops import lattice as lat
+        from fourc_tpu.ops import lattice_pallas as lp
+
+        spec = f.lattice
+        cell = f._cell(next(iter(f.block_mat)))
+        mat = next(iter(f.block_mat.values()))
+        force_w = lat.make_force_wide(spec, cell, mat)
+        uw = lp.prep(u, spec)
+        g = jax.jit(lambda x: jax.jvp(force_w, (uw,), (x,))[1])
+        t = timeit(g, lp.prep(v, spec), reps, fetch)
     elif piece == "prep":
         from fourc_tpu.ops import lattice_pallas as lp
 
