@@ -330,14 +330,25 @@ class _Level:
             f3 = f3.at[sl].add(fe4[..., a, :])
         return f3.reshape(-1)
 
-    def matvec(self, v):
+    def matvec(self, v, ref=False):
+        """Level operator apply.  ``ref=True`` forces the pure-XLA
+        reference stencil on lattice levels — used for setup-time math
+        (power iteration), where chaining many Pallas stencil calls in one
+        program has produced NaN on real TPU at large shapes (the Mosaic
+        composition fragility family, NOTES_ROUND2.md)."""
         w = self.w.astype(v.dtype)
         vm = w * v
         if self._lattice_spec is not None:
             from fourc_tpu.ops import lattice as _lat
 
-            out = _lat.stencil_matvec_flat(self._Kstencil, vm,
-                                           self._lattice_spec)
+            if ref:
+                out = _lat.from_lattice(_lat.stencil_matvec_ref(
+                    np.asarray(self._Kstencil, np.float64),
+                    _lat.to_lattice(vm, self._lattice_spec),
+                    self._lattice_spec), self._lattice_spec)
+            else:
+                out = _lat.stencil_matvec_flat(self._Kstencil, vm,
+                                               self._lattice_spec)
             if self.mlump is not None:
                 out = out + self.mass_coeff * self.mlump * vm
             return w * out + (1.0 - w) * v
@@ -397,14 +408,21 @@ class _Level:
         def power(x):
             def body(i, carry):
                 x, _ = carry
-                y = self.w * (self.dinv * self.matvec(x))
+                # ref=True: the pure-XLA stencil — 12 chained Pallas calls
+                # in one program NaN'd on real TPU at 73^3 (setup-only
+                # path, perf irrelevant)
+                y = self.w * (self.dinv * self.matvec(x, ref=True))
                 lm = jnp.linalg.norm(y) / jnp.maximum(jnp.linalg.norm(x), 1e-30)
                 return (y / jnp.maximum(jnp.linalg.norm(y), 1e-30), lm)
 
             return jax.lax.fori_loop(0, power_iters, body,
                                      (x, jnp.asarray(1.0, x.dtype)))[1]
 
-        self.lmax = float(jax.jit(power)(x0)) * 1.05
+        lm = float(jax.jit(power)(x0)) * 1.05
+        ub = 1.02 * self.gersh_lmax  # rigorous Gershgorin upper bound
+        if not np.isfinite(lm) or not (0.0 < lm <= ub):
+            lm = ub  # power estimate unusable: fall back to the bound
+        self.lmax = lm
         self.lmin = self.lmax / 30.0
 
     def chebyshev(self, b, x):

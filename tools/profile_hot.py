@@ -31,6 +31,15 @@ def build_field(n):
     from fourc_tpu.physics import solid as ps
 
     disc = gridgen.box(n, n, n, cell="hex8")
+    if os.environ.get("PROF_MESH", "lattice") == "unstructured":
+        # same deterministic jitter as bench.py BENCH_MESH=unstructured
+        X = np.array(disc.coords)
+        rng = np.random.RandomState(0)
+        interior = np.all((X > 1e-12) & (X < 1.0 - 1e-12), axis=1)
+        h = 1.0 / n
+        X[interior] += (rng.rand(int(interior.sum()), 3) - 0.5) * (0.35 * h)
+        disc.coords = X
+        disc.structured_shape = None
     mat = make_material({"type": "neohooke", "youngs": 1.0e4, "nue": 0.3,
                          "density": 1.0})
     params = ps.SolidParams(kinem="nonlinear", dyntype="genalpha",
@@ -144,6 +153,24 @@ def main():
         uw = lp.prep(u, spec)
         g = jax.jit(lambda x: jax.jvp(force_w, (uw,), (x,))[1])
         t = timeit(g, lp.prep(v, spec), reps, fetch)
+    elif piece in ("amg_vcycle", "amg_spmv"):
+        M = f._build_amg(mass_shift=mass_shift)
+        if piece == "amg_vcycle":
+            g = jax.jit(M)
+        else:
+            A0 = M.levels[0]["A"]
+            g = jax.jit(A0.mv)
+        t = timeit(g, v, reps, fetch)
+    elif piece == "gather_scatter":
+        dm = f.dofmap
+        key0 = next(iter(dm.blocks))
+
+        def gs(x):
+            ue = dm.gather(x, key0)
+            return dm.scatter_add({key0: ue.reshape(ue.shape[0], -1)})
+
+        g = jax.jit(gs)
+        t = timeit(g, v, reps, fetch)
     elif piece == "prep":
         from fourc_tpu.ops import lattice_pallas as lp
 
