@@ -282,6 +282,8 @@ class SolidField:
                 self.hoister.register_attr(ba, "conn")
                 self.hoister.register_attr(ba, "perm")
                 self.hoister.register_attr(ba, "sorted_dof")
+                if ba.inc is not None:
+                    self.hoister.register_attr(ba, "inc")
 
         self.ties = None
         if meshtying:
@@ -572,8 +574,18 @@ class SolidField:
             A = sps.apply_dirichlet(
                 sps.SparseMatrix(pattern=pattern, vals=vals),
                 self.dbc.free_mask)
-            cache[key_] = SmoothedAggregationAMG(A, self.ndpn,
-                                                 self.dbc.free_mask)
+            M = SmoothedAggregationAMG(A, self.ndpn, self.dbc.free_mask)
+            if hasattr(self, "hoister"):
+                # ELL tables are hundreds of MB at 1M dofs — pass them as
+                # runtime inputs, never HLO literals (see utils/hoist.py)
+                for lev in M.levels:
+                    self.hoister.register_item(lev, "dinv")
+                    for nm in ("A", "P", "R"):
+                        if lev.get(nm) is not None:
+                            self.hoister.register_attr(lev[nm], "blk")
+                            self.hoister.register_attr(lev[nm], "nbr")
+                self.hoister.register_attr(M, "_coarse_inv")
+            cache[key_] = M
             self._amg_cache = cache
         return cache[key_]
 
