@@ -68,27 +68,37 @@ class _BlockELL:
 
 
 def _aggregate(A_node, theta=0.08):
-    """Greedy strength-based aggregation of the node graph (scipy csr).
-    Returns agg id per node."""
+    """Vanek-style greedy aggregation of the node graph (scipy csr).
+
+    Phase 1 seeds an aggregate at every node with no aggregated strong
+    neighbor (root + its unaggregated strong neighbors); phase 2 attaches
+    leftovers to the aggregated neighbor with the largest |a_ij|.
+
+    Strength is ROW-RELATIVE (classical AMG): |a_ij| >= theta * max_k
+    |a_ik| over the row's off-diagonals.  A diagonal-scaled test
+    (|a_ij| > theta sqrt(a_ii a_jj)) marked every connection weak on
+    smoothed-aggregation coarse operators (off-diagonals small vs the
+    diagonal), so phase 1 seeded all-singleton aggregates: levels shrank
+    1.5x with stencils blowing up to 490 blocks/row.  Returns agg id per
+    node."""
     n = A_node.shape[0]
-    d = np.asarray(A_node.diagonal())
     A = A_node.tocsr()
     agg = -np.ones(n, np.int64)
     next_agg = 0
-    # first pass: seed aggregates from unaggregated nodes + strong neighbors
     for i in range(n):
         if agg[i] >= 0:
             continue
         nbrs = A.indices[A.indptr[i]:A.indptr[i + 1]]
         vals = A.data[A.indptr[i]:A.indptr[i + 1]]
-        strong = [j for j, v in zip(nbrs, vals)
-                  if j != i and abs(v) > theta * np.sqrt(abs(d[i] * d[j]) + 1e-300)]
+        off = [abs(v) for j, v in zip(nbrs, vals) if j != i]
+        thr = theta * max(off, default=0.0)
+        strong = [j for j, v in zip(nbrs, vals) if j != i and abs(v) >= thr
+                  and abs(v) > 0.0]
         if all(agg[j] < 0 for j in strong):
             agg[i] = next_agg
             for j in strong:
                 agg[j] = next_agg
             next_agg += 1
-    # second pass: attach leftovers to a strong aggregated neighbor
     for i in range(n):
         if agg[i] >= 0:
             continue
@@ -113,11 +123,17 @@ class SmoothedAggregationAMG:
                  max_levels=10, cheby_degree=3, n_smooth=1):
         import scipy.sparse as sp
 
-        p = A_sparse.pattern
-        n = p.n_rows
-        A0 = sp.coo_matrix(
-            (np.asarray(A_sparse.vals, np.float64),
-             (np.asarray(p.rows), np.asarray(p.cols))), shape=(n, n)).tocsr()
+        if sp.issparse(A_sparse):
+            # host-assembled operator (the fast setup path: no device
+            # sparse pattern, no remote eager dispatches)
+            A0 = A_sparse.tocsr().astype(np.float64)
+        else:
+            p = A_sparse.pattern
+            n = p.n_rows
+            A0 = sp.coo_matrix(
+                (np.asarray(A_sparse.vals, np.float64),
+                 (np.asarray(p.rows), np.asarray(p.cols))),
+                shape=(n, n)).tocsr()
         free = np.asarray(free_mask)
         # constrained dofs already carry unit diagonal via apply_dirichlet
         self.ndpn = ndpn
@@ -143,7 +159,7 @@ class SmoothedAggregationAMG:
             cols = Ab.indices // ndpn
             G = sp.coo_matrix((Ab.data, (rows, cols)), shape=(nn, nn)).tocsr()
             agg, n_agg = _aggregate(G)
-            if n_agg >= nn:  # no coarsening progress
+            if n_agg > nn // 2:  # stalled coarsening: stop the hierarchy
                 break
             # tentative prolongator: per-dof-component injection
             ridx = np.arange(A.shape[0])
@@ -164,36 +180,44 @@ class SmoothedAggregationAMG:
         self.cheby_degree = cheby_degree
         self.n_smooth = n_smooth
 
-    def _smooth(self, lev, b, x):
-        """Chebyshev(degree) on the Jacobi-scaled operator."""
+    def _smooth0(self, lev, b, return_res=False):
+        """Chebyshev(degree) from x = 0, skipping the wasted A·0 matvec;
+        with ``return_res`` also returns the true residual b - A x from the
+        smoother's own matvecs (degree SpMVs total vs degree + 2 for
+        smooth + separate residual — same fusion as linalg/gmg.py)."""
         lmax, dinv, A = lev["lmax"], lev["dinv"], lev["A"]
         lmin = lmax / 30.0
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
         sigma = theta / delta
         rho_old = 1.0 / sigma
-        r = dinv * (b - A.mv(x))
+        r = dinv * b
         d = r / theta
-        x = x + d
+        x = d
+        rt = b
         for _ in range(self.cheby_degree - 1):
+            t = A.mv(d)
+            if return_res:
+                rt = rt - t
             rho = 1.0 / (2.0 * sigma - rho_old)
-            r = r - dinv * A.mv(d)
+            r = r - dinv * t
             d = rho * rho_old * d + (2.0 * rho / delta) * r
             x = x + d
             rho_old = rho
+        if return_res:
+            return x, rt - A.mv(d)
         return x
 
     def _vcycle(self, k, r):
         lev = self.levels[k]
         if lev["P"] is None:
             return self._coarse_inv @ r
-        x = self._smooth(lev, r, jnp.zeros_like(r))
-        res = r - lev["A"].mv(x)
+        x, res = self._smooth0(lev, r, return_res=True)
         rc = lev["R"].mv(res)
         xc = self._vcycle(k + 1, rc)
         x = x + lev["P"].mv(xc)
         res = r - lev["A"].mv(x)
-        return x + self._smooth(lev, res, jnp.zeros_like(res))
+        return x + self._smooth0(lev, res)
 
     def __call__(self, r):
         return self._vcycle(0, r.astype(jnp.float32)).astype(r.dtype)

@@ -548,12 +548,18 @@ class SolidField:
         key_ = (round(float(mass_shift), 10),)
         cache = getattr(self, "_amg_cache", {})
         if key_ not in cache:
-            from fourc_tpu.linalg import sparse as sps
+            import scipy.sparse as sp
+
             from fourc_tpu.linalg.amg import SmoothedAggregationAMG
             from fourc_tpu.materials.small_strain import LinearElastic
 
-            pattern = sps.build_pattern(self.dofmap)
-            mats = {}
+            # HOST-side assembly: element stiffnesses computed on device
+            # (batched, fast), everything else in scipy — the previous
+            # device-pattern path spent minutes in remote eager dispatches
+            # and shipped multi-100MB index arrays through the tunnel for
+            # a matrix that scipy consumes on the host anyway
+            ndof = self.ndof
+            rows, cols, vals = [], [], []
             for key in self.dofmap.blocks:
                 m = self.block_mat[key]
                 lin = LinearElastic(youngs=float(m.youngs),
@@ -569,12 +575,20 @@ class SolidField:
                     mdiag = jnp.repeat(ml, self.ndpn, axis=1).reshape(
                         Ke.shape[0], nend)
                     Ke = Ke + mass_shift * jax.vmap(jnp.diag)(mdiag)
-                mats[key] = Ke
-            vals = sps.assemble_values(pattern, mats)
-            A = sps.apply_dirichlet(
-                sps.SparseMatrix(pattern=pattern, vals=vals),
-                self.dbc.free_mask)
-            M = SmoothedAggregationAMG(A, self.ndpn, self.dbc.free_mask)
+                Ke_np = np.asarray(Ke, np.float64)
+                edof = np.asarray(self.dofmap.blocks[key].edof)
+                nd = edof.shape[1]
+                rows.append(np.repeat(edof, nd, axis=1).reshape(-1))
+                cols.append(np.tile(edof, (1, nd)).reshape(-1))
+                vals.append(Ke_np.reshape(-1))
+            A0 = sp.coo_matrix(
+                (np.concatenate(vals),
+                 (np.concatenate(rows), np.concatenate(cols))),
+                shape=(ndof, ndof)).tocsr()  # duplicates summed
+            free = np.asarray(self.dbc.free_mask)
+            D = sp.diags(free.astype(np.float64))
+            A0 = (D @ A0 @ D + sp.diags((~free).astype(np.float64))).tocsr()
+            M = SmoothedAggregationAMG(A0, self.ndpn, self.dbc.free_mask)
             if hasattr(self, "hoister"):
                 # ELL tables are hundreds of MB at 1M dofs — pass them as
                 # runtime inputs, never HLO literals (see utils/hoist.py)
