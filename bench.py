@@ -87,8 +87,9 @@ def main():
 
     fm = FunctionManager()
     fm.add(1, "sin(31.4159*t)")
+    amp = float(os.environ.get("BENCH_AMP", "120.0"))
     dbc = [DirichletBC(disc.node_sets["zmin"], [1, 1, 1], [0, 0, 0])]
-    neu = [NeumannBC(disc.face_sets["zmax"], [1, 0, 0], [120.0, 0, 0],
+    neu = [NeumannBC(disc.face_sets["zmax"], [1, 0, 0], [amp, 0, 0],
                      funct=[1, 0, 0])]
     f = ps.SolidField(disc, {1: mat}, params, dirichlet=dbc, neumann=neu,
                       functions=fm)

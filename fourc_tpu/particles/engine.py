@@ -272,10 +272,31 @@ def make_dem_stepper(params: DemParams, radii, masses, walls=(), n_sub=1):
     return jax.jit(step, static_argnums=())
 
 
-def make_sph_stepper(params: SphParams, masses, n_sub=1, boundary=None):
+@dataclass
+class OpenBoundary:
+    """SPH open (inflow/outflow) boundary along one axis.
+
+    Counterpart of the reference's SPH open-boundary treatment (ref:
+    src/particle_interaction 4C_particle_interaction_sph_open_boundary.*:
+    inflow prescribes state, outflow removes particles).  TPU-native
+    fixed-capacity form: a particle crossing the outflow plane is RECYCLED
+    to the inflow side (shifted back by the channel length) with the
+    prescribed inflow velocity — removal + emission with a static particle
+    budget, so shapes never change and the stepper never re-jits.
+    """
+
+    axis: int = 0
+    x_in: float = 0.0  # inflow plane coordinate
+    x_out: float = 1.0  # outflow plane coordinate
+    v_in: tuple = (1.0, 0.0)  # prescribed inflow velocity
+
+
+def make_sph_stepper(params: SphParams, masses, n_sub=1, boundary=None,
+                     open_bc: OpenBoundary = None):
     """boundary: optional (N,) bool mask of STATIC boundary particles (ref:
     sph boundary particle treatment — they contribute to density/pressure
-    sums but never move; the wall-feeling analog of Adami dummy particles)."""
+    sums but never move; the wall-feeling analog of Adami dummy particles).
+    open_bc: optional OpenBoundary (inflow/outflow recycling)."""
     bnd = None if boundary is None else jnp.asarray(boundary, bool)
 
     def freeze(x_new, v_new, a_new, x_old):
@@ -286,6 +307,21 @@ def make_sph_stepper(params: SphParams, masses, n_sub=1, boundary=None):
                 jnp.where(keep, 0.0, v_new),
                 jnp.where(keep, 0.0, a_new))
 
+    def recycle(x, v, a):
+        if open_bc is None:
+            return x, v, a
+        ax = open_bc.axis
+        L = open_bc.x_out - open_bc.x_in
+        crossed = x[:, ax] > open_bc.x_out
+        if bnd is not None:
+            crossed = crossed & ~bnd  # static walls are never recycled
+        c = crossed[:, None]
+        shift = jnp.zeros(x.shape[1], x.dtype).at[ax].set(L)
+        v_in = jnp.asarray(open_bc.v_in, x.dtype)
+        return (jnp.where(c, x - shift, x),
+                jnp.where(c, v_in, v),
+                jnp.where(c, 0.0, a))
+
     def step(state, dt):
         def body(i, s):
             x, v, a = s
@@ -293,7 +329,7 @@ def make_sph_stepper(params: SphParams, masses, n_sub=1, boundary=None):
             x_new = x + dt * v_half
             a_new, _, _ = sph_accel(x_new, v_half, masses, params)
             v_new = v_half + 0.5 * dt * a_new
-            return freeze(x_new, v_new, a_new, x)
+            return recycle(*freeze(x_new, v_new, a_new, x))
 
         x, v, a = jax.lax.fori_loop(0, n_sub, body,
                                     (state["x"], state["v"], state["a"]))
