@@ -190,9 +190,15 @@ def solve_stokes_two_fluid(coords, conn, phi_nodes, mu_minus, mu_plus,
                 dof = 6 * nd + 3 * side + comp
                 fixed[dof] = True
                 fixed_val[dof] = val_fn(coords[nd, 0], coords[nd, 1])
+    if not act[0].any():
+        raise ValueError("minus phase has no active dofs — the level set "
+                         "does not cut the mesh (phi >= 0 everywhere)")
     pin_m = int(np.where(act[0])[0][0])
     fixed[6 * pin_m + 2] = True
     if fix_pressure == "per_side":
+        if not act[1].any():
+            raise ValueError("plus phase has no active dofs — the level set "
+                             "does not cut the mesh (phi < 0 everywhere)")
         pin_p = int(np.where(act[1])[0][0])
         fixed[6 * pin_p + 5] = True
 

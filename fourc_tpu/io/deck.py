@@ -188,7 +188,7 @@ DECK_SPEC = {
                          "cardiovascular0d",
                          "cardiac_monodomain", "artery", "red_airways",
                          "porofluidmultiphase", "loma", "sti", "ssti", "ehl", "fs3i", "fpsi",
-                         "fbi", "levelset", "pasi",
+                         "fbi", "levelset", "pasi", "immersed_fsi",
                          "porofluid_elast", "porofluid_elast_scatra"),
             ),
             "restart": param(int, 0),
@@ -245,6 +245,21 @@ DECK_SPEC = {
             "drag": param(float, 1.0, doc="drag coefficient per unit length"),
         },
         doc="FBI DYNAMIC (immersed fluid-beam interaction)",
+    ),
+    "immersed_dynamic": group(
+        {
+            "timestep": param(float, 0.1),
+            "numstep": param(int, 1),
+            "penalty": param(float, 1e3,
+                             doc="direct-forcing IB penalty c_ib"),
+            "itemax": param(int, 12,
+                            doc="max partitioned DN subiterations / step"),
+            "convtol": param(float, 1e-6,
+                             doc="interface velocity increment tolerance"),
+            "relax": param(float, 0.5,
+                           doc="initial Aitken relaxation factor"),
+        },
+        doc="IMMERSED FSI DYNAMIC (direct-forcing immersed boundary)",
     ),
     "fpsi_dynamic": group(
         {

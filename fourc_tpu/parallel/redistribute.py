@@ -14,8 +14,10 @@ other batch axis.  Rebalancing is therefore a PERMUTATION of that axis —
 chunks (exactly: per-chunk active counts differ by at most 1), the inactive
 slaves fill the remaining slots in order.  The contact force is a
 scatter-add keyed by the (permuted-along) global node ids, so the result is
-bitwise-invariant under the permutation; only the per-device work balance
-changes.  ``redistribute_contact`` applies it host-side between jitted
+invariant under the permutation up to scatter-add summation order (FP
+addition is not associative, so when several slave rows hit the same master
+node the reduction order — and hence the last few ulps — can depend on the
+permutation and platform); only the per-device work balance changes.  ``redistribute_contact`` applies it host-side between jitted
 phases (the same rare-reshard model as mesh repartitioning,
 parallel/partition.py), matching the reference's every-N-steps round-robin
 cadence rather than a per-iteration shuffle.
@@ -84,6 +86,12 @@ def redistribute_contact(contact, actives, n_shards: int, cstate=None):
     for i, p in enumerate(contact.pairs):
         act = np.asarray(actives[i], np.float64)
         S = act.shape[0]
+        S_pair = int(np.asarray(p["slave"]).shape[0])
+        if S != S_pair:
+            raise ValueError(
+                f"pair {i}: actives has length {S} but the pair's slave "
+                f"axis has length {S_pair} — after a padding call, actives "
+                f"must be supplied at the padded length")
         pad = (-S) % n_shards
         if pad:
             act = np.concatenate([act, np.zeros(pad)])

@@ -318,6 +318,10 @@ def make_sph_stepper(params: SphParams, masses, n_sub=1, boundary=None,
         c = crossed[:, None]
         shift = jnp.zeros(x.shape[1], x.dtype).at[ax].set(L)
         v_in = jnp.asarray(open_bc.v_in, x.dtype)
+        if v_in.shape != (x.shape[1],):
+            raise ValueError(
+                f"OpenBoundary.v_in has {v_in.shape[0]} components but the "
+                f"particle state is {x.shape[1]}-dimensional")
         return (jnp.where(c, x - shift, x),
                 jnp.where(c, v_in, v),
                 jnp.where(c, 0.0, a))

@@ -102,6 +102,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import fbi_driver
 
         return fbi_driver.run(deck, callbacks)
+    if ptype == "immersed_fsi":
+        from fourc_tpu.physics import immersed_driver
+
+        return immersed_driver.run(deck, callbacks)
     if ptype == "fpsi":
         from fourc_tpu.physics import fpsi_driver
 

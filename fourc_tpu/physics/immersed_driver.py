@@ -1,0 +1,221 @@
+"""Immersed FSI: an elastic solid immersed in an Eulerian fluid mesh.
+
+Counterpart of the reference's immersed-boundary FSI module (ref:
+src/immersed_problem — ImmersedPartitionedFSIDirichletNeumann: the fluid
+sees the immersed structure as an interior velocity constraint, the
+structure is loaded by the fluid reaction; 4C_immersed_problem_dirichletneumann*).
+
+TPU-native partitioned direct-forcing scheme per time step:
+  1. host re-pairing of solid nodes (current configuration X + d) to
+     hosting fluid elements — BVH broad phase (core/geomsearch) + inverse
+     isoparametric map narrow phase; fixed capacity = all solid nodes, an
+     unpaired node carries zero weights so shapes never change and the
+     jitted solves never retrace;
+  2. fluid solve with the direct-forcing penalty
+         f_ib = c_ib * (v_s(X_s) - u_f(X_s))      [per solid node]
+     spread to the hosting element's nodes by shape value (the reference's
+     delta-function spreading);
+  3. solid solve with the equal-and-opposite reaction applied at its
+     nodes weighted by tributary area (Newton's third law at the discrete
+     level — total interaction force balances exactly);
+  4. steps 2-3 are SUBITERATED with Aitken-relaxed solid-velocity
+     updates until the interface velocity increment converges — the
+     reference's partitioned Dirichlet-Neumann convergence loop
+     (ImmersedPartitionedFSIDirichletNeumann ~ the same dynamic
+     relaxation as fsi_driver's DN scheme).  Without subiterations the
+     explicit force feedback is unstable for soft immersed bodies at
+     large c_ib (the added-mass effect).
+
+The penalty constant plays the role of the reference's interface
+Dirichlet condition: for c_ib -> inf the fluid velocity at the structure
+matches the structure velocity (enforced weakly; the test asserts the
+constraint residual shrinks with c_ib).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fourc_tpu.core.geomsearch import build_bvh, query_aabbs
+from fourc_tpu.cut.levelset import _inv_map, _quad_N
+from fourc_tpu.physics import driver as drv
+from fourc_tpu.physics import fluid as pf
+from fourc_tpu.physics import fluid_driver
+from fourc_tpu.physics import solid as ps
+from fourc_tpu.physics import structure_driver
+from fourc_tpu.physics.newton import newton_solve
+from fourc_tpu.utils.timer import Timers
+
+
+def pair_points_bvh(points, coords, conn):
+    """Host: hosting quad4 element + shape values for each point (2D).
+
+    BVH broad phase over element AABBs, inverse-map narrow phase.
+    Returns (host (N,) int32 element id or -1, wts (N, 4))."""
+    X = np.asarray(coords)[:, :2]
+    conn = np.asarray(conn)
+    pts = np.asarray(points)[:, :2]
+    el = X[conn]  # (E, 4, 2)
+    lo3 = np.zeros((conn.shape[0], 3))
+    hi3 = np.zeros((conn.shape[0], 3))
+    lo3[:, :2] = el.min(axis=1) - 1e-9
+    hi3[:, :2] = el.max(axis=1) + 1e-9
+    bvh = build_bvh(lo3, hi3)
+    q3 = np.zeros((pts.shape[0], 3))
+    q3[:, :2] = pts
+    hits, _ = query_aabbs(bvh, q3, q3, max_hits=16)
+    hits = np.asarray(hits)
+    host = np.full(len(pts), -1, np.int32)
+    wts = np.zeros((len(pts), conn.shape[1]))
+    for b, p in enumerate(pts):
+        for e in hits[b]:
+            if e < 0:
+                continue
+            xi = _inv_map(X[conn[e]], p)
+            if np.all(np.abs(xi) <= 1 + 1e-8):
+                host[b] = e
+                wts[b] = _quad_N(xi)
+                break
+    return host, wts
+
+
+def run(deck, callbacks=None) -> drv.RunResult:
+    timers = Timers()
+    cfg = deck.sections["immersed_dynamic"]
+    dt = float(cfg["timestep"])
+    c_ib = float(cfg["penalty"])
+    itemax = int(cfg["itemax"])
+    convtol = float(cfg["convtol"])
+    omega0 = float(cfg["relax"])
+    with timers("setup"):
+        fluid = fluid_driver.build_field(deck, "fluid")
+        solid = structure_driver.build_field(deck, "structure")
+        fconn = np.asarray(
+            next(iter(fluid.dofmap.blocks.values())).conn)
+        s_coords = np.asarray(solid.disc.coords)
+        n_s = solid.disc.n_nodes
+        dim = fluid.dim
+        # tributary area of each solid node (lumped volume weights)
+        sblk = next(iter(solid.disc.blocks.values()))
+        sconn = np.asarray(sblk.conn)
+        sc = s_coords[sconn]
+        # quad4 area by shoelace; equal split onto corners
+        area = 0.5 * np.abs(
+            (sc[:, 0, 0] - sc[:, 2, 0]) * (sc[:, 1, 1] - sc[:, 3, 1])
+            - (sc[:, 1, 0] - sc[:, 3, 0]) * (sc[:, 0, 1] - sc[:, 2, 1]))
+        trib = np.zeros(n_s)
+        np.add.at(trib, sconn.reshape(-1), np.repeat(
+            area / sconn.shape[1], sconn.shape[1]))
+        trib_j = jnp.asarray(trib)
+
+    state_f = pf.init_state(fluid)
+    state_s = ps.compute_initial_state(solid, ps.init_state(solid))
+    M_solid = solid.build_preconditioner(state_s["d"],
+                                         mass_shift=1.0 / (dt * dt))
+
+    @jax.jit
+    def fluid_vel_at(xf, h_conn, h_wts):
+        u = xf.reshape(-1, fluid.ndpn)[:, :dim]
+        return jnp.einsum("bk,bkd->bd", h_wts, u[h_conn])
+
+    @jax.jit
+    def solve_fluid(state, h_conn, h_wts, vs, t1):
+        """Fluid step; the IB penalty is INSIDE the residual so the
+        forcing is implicit in u_f (stable for large c_ib)."""
+        x_n = state["x"]
+
+        def residual(x):
+            xdot = (x - x_n) / dt
+            xdot = pf._zero_pressure_rate(fluid, xdot)
+            r = fluid.residual_transient(x, xdot, t1, dt=dt)
+            uf = fluid_vel_at(x, h_conn, h_wts)
+            f_ib = c_ib * trib_j[:, None] * (vs - uf)  # (n_s, dim)
+            rm = r.reshape(-1, fluid.ndpn)
+            spread = (h_wts[..., None] * f_ib[:, None, :]).reshape(-1, dim)
+            fsrc = jnp.zeros((fluid.disc.n_nodes, dim)).at[
+                h_conn.reshape(-1)].add(spread)
+            rm = rm.at[:, :dim].add(-fsrc)
+            return rm.reshape(-1)
+
+        x0 = fluid.dbc.apply(x_n, t1)
+        M = fluid.build_preconditioner(dt_factor=1.0 / dt, dt=dt)
+        x, stats = newton_solve(residual, x0, fluid.dbc.free_mask, M,
+                                pf._nonsym(fluid.params.newton))
+        new = dict(state)
+        new.update(x=x, xdot=pf._zero_pressure_rate(fluid, (x - x_n) / dt))
+        return new, stats
+
+    @jax.jit
+    def solve_solid(state, fext_extra, t1):
+        d_n, v_n = state["d"], state["v"]
+
+        def residual(d):
+            fi, _ = solid.internal_force(d)
+            v_new = (d - d_n) / dt
+            return (fi + solid.mass_matvec((v_new - v_n) / dt)
+                    - solid.external_force(t1, d) - fext_extra)
+
+        u0 = solid.dbc.apply(d_n, t1)
+        d, stats = newton_solve(residual, u0, solid.dbc.free_mask, M_solid,
+                                solid.params.newton)
+        v1 = (d - d_n) / dt
+        new = dict(state)
+        new.update(d=d, v=v1, a=(v1 - v_n) / dt)
+        return new, stats
+
+    agg = {"steps": 0, "newton_iters": 0, "lin_iters": 0,
+           "coupling_iters": 0}
+    t = 0.0
+    for _ in range(cfg["numstep"]):
+        t1 = t + dt
+        # 1) re-pair at the current configuration (host; rare-reshard model)
+        xs = s_coords[:, :2] + np.asarray(state_s["d"]).reshape(-1, dim)
+        host, wts = pair_points_bvh(xs, fluid.disc.coords, fconn)
+        wts[host < 0] = 0.0
+        h_conn = jnp.asarray(fconn[np.maximum(host, 0)])
+        h_wts = jnp.asarray(wts)
+        # 2-4) Dirichlet-Neumann subiterations on the solid interface
+        # velocity with Aitken dynamic relaxation (the reference's
+        # partitioned convergence loop); both fields re-solve from the
+        # frozen step-begin states until the interface update converges.
+        vs = np.asarray(state_s["v"]).reshape(-1, dim)
+        omega, r_prev = omega0, None
+        vnorm = max(float(np.linalg.norm(vs)), 1.0)
+        for k in range(itemax):
+            vs_j = jnp.asarray(vs)
+            new_f, st_f = solve_fluid(state_f, h_conn, h_wts, vs_j, t1)
+            uf = fluid_vel_at(new_f["x"], h_conn, h_wts)
+            f_ib = c_ib * trib_j[:, None] * (vs_j - uf)
+            new_s, st_s = solve_solid(state_s, (-f_ib).reshape(-1),
+                                      jnp.asarray(t1))
+            agg["newton_iters"] += int(st_f["iters"]) + int(st_s["iters"])
+            agg["lin_iters"] += (int(st_f["lin_iters"])
+                                 + int(st_s["lin_iters"]))
+            agg["coupling_iters"] += 1
+            r = np.asarray(new_s["v"]).reshape(-1, dim) - vs
+            if np.linalg.norm(r) <= convtol * vnorm:
+                break
+            if r_prev is not None:
+                dr = r - r_prev
+                den = float((dr * dr).sum())
+                if den > 0.0:
+                    omega = float(np.clip(
+                        -omega * (r_prev * dr).sum() / den, 0.05, 1.0))
+            vs = vs + omega * r
+            r_prev = r
+        state_f, state_s = new_f, new_s
+        t = t1
+        agg["steps"] += 1
+        state_f = dict(state_f, t=jnp.asarray(t1), step=state_f["step"] + 1)
+        state_s = dict(state_s, t=jnp.asarray(t1), step=state_s["step"] + 1)
+
+    return drv.RunResult(
+        deck=deck,
+        fields={"fluid": fluid_driver.FluidFieldView(fluid),
+                "structure": structure_driver.SolidFieldView(solid)},
+        states={"fluid": state_f, "structure": state_s},
+        stats={"fluid": agg, "structure": agg}, timers=timers,
+    )

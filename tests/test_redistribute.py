@@ -3,8 +3,11 @@
 Analog of the reference's contact round-robin interface redistribution
 (ref: src/contact/4C_contact_interface_roundrobin.cpp,
 4C_contact_utils_parallel.cpp): the permutation must (a) exactly balance
-active slaves over shard chunks and (b) leave the contact force bitwise
-unchanged (scatter-add by global node id commutes with the permutation).
+active slaves over shard chunks and (b) leave the contact force unchanged
+up to scatter-add summation order (FP addition is not associative, so where
+several slave rows add into one master node the exact bits can depend on
+the reduction order; here the equality assertion documents the currently
+observed behavior on this backend, not a guarantee).
 """
 
 import numpy as np
@@ -92,9 +95,9 @@ def test_contact_force_invariant_under_redistribution():
     counts = shard_active_counts((f_node > 0) * sw, n_shards)
     assert counts.max() - counts.min() <= 1
 
-    # force is bitwise-invariant (scatter-add by node id commutes)
+    # force invariant up to scatter-add order (allclose; see module docstring)
     f1 = np.asarray(pc.force(x, cstate=st))
-    np.testing.assert_array_equal(f0, f1)
+    np.testing.assert_allclose(f0, f1, rtol=1e-6, atol=1e-9)
 
 
 def test_state_stays_aligned():
