@@ -86,8 +86,14 @@ def main():
     from fourc_tpu.core.functions import FunctionManager
 
     fm = FunctionManager()
-    fm.add(1, "sin(31.4159*t)")
-    amp = float(os.environ.get("BENCH_AMP", "120.0"))
+    # phase advance of 1.6 rad/step (dt=0.02): successive load values are
+    # 0.9996, -0.058, -0.996, 0.116, ... — the load swings by O(amp) EVERY
+    # step, so no step is near-converged at entry (a zero-delta step like
+    # the old 10*dt period produced converges in 1 Newton iteration, which
+    # benchmarks nothing)
+    freq = float(os.environ.get("BENCH_FREQ", "80.0"))
+    fm.add(1, f"sin({freq}*t)")
+    amp = float(os.environ.get("BENCH_AMP", "240.0"))
     dbc = [DirichletBC(disc.node_sets["zmin"], [1, 1, 1], [0, 0, 0])]
     neu = [NeumannBC(disc.face_sets["zmax"], [1, 0, 0], [amp, 0, 0],
                      funct=[1, 0, 0])]

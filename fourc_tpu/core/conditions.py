@@ -99,9 +99,6 @@ class DirichletHandler:
                     amp[c.nodes, k] = c.val[k]
                     fid[c.nodes, k] = c.funct[k] or 0
         self.free_mask = jnp.asarray(~fixed.reshape(-1))
-        # eager (never inside a trace — a lazily cached version would
-        # capture a tracer); f32 0/1 weight for traced masking, see free_w
-        self._free_w = jnp.asarray((~fixed.reshape(-1)).astype(np.float32))
         self._fixed = fixed
         self._amp = amp
         self._fid = fid
@@ -136,6 +133,22 @@ class DirichletHandler:
                 vals = amp * jnp.take_along_axis(allc, comps[:, None], axis=1)[:, 0]
             out = out.at[dofs].set(vals)
         return out
+
+    @property
+    def free_mask(self):
+        return self._free_mask
+
+    @free_mask.setter
+    def free_mask(self, m):
+        """Keep the eager f32 weight in sync with any external narrowing of
+        the mask (meshtying slave dofs in physics/solid.py, resharding in
+        parallel/sharding.py): a stale _free_w leaves condensed slave rows
+        'free', which makes the assembled system singular (NaN in direct
+        solves)."""
+        self._free_mask = m
+        # eager (never inside a trace — a lazily cached version would
+        # capture a tracer); f32 0/1 weight for traced masking, see free_w
+        self._free_w = jnp.asarray(m).astype(jnp.float32)
 
     @property
     def free_w(self):

@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from fourc_tpu.core import native
+
 __all__ = ["Bvh", "build_bvh", "query_aabbs", "match_nodes"]
 
 _STACK = 64  # max traversal depth * 2; ample for < 2^31 leaves
@@ -80,6 +82,13 @@ def build_bvh(box_lo, box_hi) -> Bvh:
     n = box_lo.shape[0]
     if n == 0:
         raise ValueError("empty box set")
+    if n > 1:
+        built = native.lbvh_build(box_lo, box_hi)
+        if built is not None:
+            left, right, order, lo_all, hi_all = built
+            return Bvh(left=jnp.asarray(left), right=jnp.asarray(right),
+                       lo=jnp.asarray(lo_all), hi=jnp.asarray(hi_all),
+                       order=jnp.asarray(order))
     c = 0.5 * (box_lo + box_hi)
     span_lo, span_hi = c.min(axis=0), c.max(axis=0)
     ext = np.where(span_hi > span_lo, span_hi - span_lo, 1.0)
@@ -225,6 +234,9 @@ def match_nodes(coords_a, coords_b, tol: float = 1e-8):
     a = np.asarray(coords_a, np.float64)
     b = np.asarray(coords_b, np.float64)
     dim = a.shape[1]
+    fast = native.match_nodes(a, b, tol)
+    if fast is not None:
+        return fast
     # hash B into cells of size 2*tol; check a point's cell and its 3^d
     # neighborhood so quantization-boundary jitter cannot miss a match
     cell = 2.0 * tol

@@ -52,6 +52,11 @@ def _lib():
                                    i32p, i32p]
     lib.node_element_csr.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32,
                                      ctypes.c_int64, i64p, i32p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+    lib.lbvh_build.argtypes = [f64p, f64p, ctypes.c_int64, i32p, i32p, i32p,
+                               f32p, f32p]
+    lib.match_nodes.argtypes = [f64p, ctypes.c_int64, f64p, ctypes.c_int64,
+                                ctypes.c_int32, ctypes.c_double, i64p]
     _LIB = lib
     return _LIB
 
@@ -83,6 +88,34 @@ def rcb_order(points: np.ndarray, n_parts: int):
     perm = np.empty(pts.shape[0], np.int32)
     lib.rcb_order(pts, pts.shape[0], pts.shape[1], levels, perm)
     return perm
+
+
+def lbvh_build(box_lo: np.ndarray, box_hi: np.ndarray):
+    """Karras LBVH arrays (left, right, order, lo_all, hi_all) or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    lo = np.ascontiguousarray(box_lo, np.float64)
+    hi = np.ascontiguousarray(box_hi, np.float64)
+    n = lo.shape[0]
+    left = np.empty(max(n - 1, 0), np.int32)
+    right = np.empty(max(n - 1, 0), np.int32)
+    order = np.empty(n, np.int32)
+    lo_all = np.empty((2 * n - 1, 3), np.float32)
+    hi_all = np.empty((2 * n - 1, 3), np.float32)
+    lib.lbvh_build(lo, hi, n, left, right, order, lo_all, hi_all)
+    return left, right, order, lo_all, hi_all
+
+
+def match_nodes(a: np.ndarray, b: np.ndarray, tol: float):
+    lib = _lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    out = np.empty(a.shape[0], np.int64)
+    lib.match_nodes(a, a.shape[0], b, b.shape[0], a.shape[1], float(tol), out)
+    return out
 
 
 def build_dof_perm(edof_flat: np.ndarray, ndof: int):
