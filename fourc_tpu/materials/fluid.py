@@ -107,3 +107,41 @@ class Sutherland(Material):
 
     def visc(self, gamma_dot=None):
         return self.refvisc
+
+
+@register_material("murnaghantait")
+@dataclass
+class MurnaghanTait(Material):
+    """Weakly compressible fluid with Murnaghan-Tait equation of state.
+
+    rho(p) = rho0 * (1 + n/K0 * (p - p0))^(1/n)
+    (ref: src/mat/4C_mat_fluid_murnaghantait.* — used by the reference's
+    weakly-compressible fluid variants; here the EOS feeds the
+    variable-density/loma continuity-source path).
+    """
+
+    kind = "fluid"
+    viscosity: float
+    density: float = 1.0      # rho0 at reference pressure
+    refpressure: float = 0.0
+    bulkmod: float = 1.0e5    # K0
+    matparameter: float = 7.0  # Tait exponent n
+
+    def visc(self, gamma_dot=None):
+        return self.viscosity
+
+    def rho_p(self, p):
+        import jax.numpy as jnp
+
+        n = self.matparameter
+        return self.density * jnp.maximum(
+            1.0 + n / self.bulkmod * (p - self.refpressure), 1e-6
+        ) ** (1.0 / n)
+
+    def drho_dp(self, p):
+        import jax.numpy as jnp
+
+        n = self.matparameter
+        base = jnp.maximum(
+            1.0 + n / self.bulkmod * (p - self.refpressure), 1e-6)
+        return self.density / self.bulkmod * base ** (1.0 / n - 1.0)

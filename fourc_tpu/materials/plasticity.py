@@ -652,3 +652,141 @@ class ThermoPlasticJ2(HistoryMaterial):
         eps_p_new = eps_p + dgam * jnp.sqrt(1.5) * nhat
         return sig, jnp.concatenate([eps_p_new.reshape(9),
                                      (alpha + dgam)[None]])
+
+
+@register_material("superelastic_sma")
+@dataclass
+class SuperelasticSMA(HistoryMaterial):
+    """Small-strain superelastic shape-memory alloy (flag-shaped
+    hysteresis).
+
+    Counterpart of the reference's SMA material
+    (ref: src/mat/4C_mat_superelastic_sma.* — Auricchio/Taylor
+    austenite<->single-variant-martensite model with linear
+    transformation kinetics).  Implemented as a branch-free incremental
+    return map on the martensite fraction xi in [0, 1]:
+
+      forward  (A->S):  active when  q > s_as_s + h_as * xi
+      reverse  (S->A):  active when  q < s_sa_f + h_sa * xi
+
+    with plateau moduli h_as = s_as_f - s_as_s, h_sa = s_sa_s - s_sa_f and
+    deviatoric transformation strain eps_t = sqrt(3/2) * eps_l * xi * n.
+    Both corrections are jnp.where-gated, so the model jits/vmaps over all
+    Gauss points; the consistent tangent is AD through the map.
+
+    history per GP: [eps_t (9), xi (1)] -> (10,)
+    """
+
+    kind = "solid_small_history"
+    youngs: float
+    nue: float
+    eps_l: float            # maximum transformation strain
+    s_as_s: float           # forward (austenite->martensite) start stress
+    s_as_f: float           # forward finish stress
+    s_sa_s: float           # reverse start stress (upper, at xi=1)
+    s_sa_f: float           # reverse finish stress (lower, at xi=0)
+    density: float = 0.0
+    history_shape = (10,)
+
+    def __post_init__(self):
+        self.G = self.youngs / (2 * (1 + self.nue))
+        self.K = self.youngs / (3 * (1 - 2 * self.nue))
+
+    def evaluate_small(self, eps, h):
+        eye = jnp.eye(3, dtype=eps.dtype)
+        eps_t = h[:9].reshape(3, 3)
+        xi = h[9]
+        ee = eps - eps_t
+        tr_e = jnp.trace(ee)
+        s_tr = 2.0 * self.G * (ee - tr_e / 3.0 * eye)
+        snorm = jnp.sqrt(jnp.sum(s_tr * s_tr) + 1e-30)
+        q_tr = jnp.sqrt(1.5) * snorm
+        nhat = s_tr / snorm
+        c = 3.0 * self.G * self.eps_l  # stress drop per unit dxi
+
+        h_as = self.s_as_f - self.s_as_s
+        h_sa = self.s_sa_s - self.s_sa_f
+        # forward transformation: drive q down onto the loading plateau
+        f_as = q_tr - (self.s_as_s + h_as * xi)
+        dxi_f = jnp.clip(jnp.maximum(f_as, 0.0) / (c + h_as), 0.0, 1.0 - xi)
+        # reverse transformation: drive q up onto the unloading plateau
+        f_sa = (self.s_sa_f + h_sa * xi) - q_tr
+        dxi_r = jnp.clip(jnp.maximum(f_sa, 0.0) / (c + h_sa), 0.0, xi)
+
+        dxi = dxi_f - dxi_r
+        xi_new = xi + dxi
+        deps_t = jnp.sqrt(1.5) * self.eps_l * dxi * nhat
+        s_new = s_tr - 2.0 * self.G * jnp.sqrt(1.5) * self.eps_l * dxi * nhat
+        sig = self.K * tr_e * eye + s_new
+        return sig, jnp.concatenate([(eps_t + deps_t).reshape(9),
+                                     xi_new[None]])
+
+
+@register_material("robinson")
+@dataclass
+class Robinson(HistoryMaterial):
+    """Robinson's thermo-viscoplastic material (high-temperature creep).
+
+    Counterpart of the reference's Robinson model
+    (ref: src/mat/4C_mat_robinson.* — Bingham-Prager flow potential
+    F = J2(s - alpha)/K^2(T) - 1 with power-law overstress flow, backstress
+    hardening + thermal recovery; temperature-dependent shear threshold).
+    Flow and recovery are integrated with one backward-Euler-in-rate
+    (explicit-in-direction) step per time increment, branch-free:
+
+      dgamma  = dt * A * <F>^n
+      deps_p  = sqrt(3/2) dgamma nhat,   nhat = xi/|xi|,  xi = s - alpha
+      dalpha  = (2/3) H deps_p - dt * R(T) * alpha
+
+    K(T) = k0 * (1 - omega_t * (T - t_ref))  (linear thermal softening of
+    the shear threshold, floored at 1% k0).
+
+    history per GP: [eps_p (9), alpha (9)] -> (18,)
+    """
+
+    kind = "solid_small_history"
+    needs_temp = True
+    youngs: float
+    nue: float
+    k0: float               # shear threshold at t_ref
+    a_flow: float = 1.0     # flow-rate constant A
+    n_exp: float = 2.0      # overstress exponent n
+    hard: float = 0.0       # backstress hardening modulus H
+    recov: float = 0.0      # thermal recovery rate R
+    omega_t: float = 0.0    # d(K)/dT / k0
+    t_ref: float = 0.0
+    density: float = 0.0
+    history_shape = (18,)
+
+    def __post_init__(self):
+        self.G = self.youngs / (2 * (1 + self.nue))
+        self.K = self.youngs / (3 * (1 - 2 * self.nue))
+
+    def evaluate_small(self, eps, h, T=None, dt=1.0):
+        eye = jnp.eye(3, dtype=eps.dtype)
+        dT = 0.0 if T is None else T - self.t_ref
+        eps_p = h[:9].reshape(3, 3)
+        back = h[9:18].reshape(3, 3)
+        ee = eps - eps_p
+        tr_e = jnp.trace(ee)
+        s_tr = 2.0 * self.G * (ee - tr_e / 3.0 * eye)
+        xi = s_tr - back
+        j2 = 0.5 * jnp.sum(xi * xi)
+        kT = jnp.maximum(self.k0 * (1.0 - self.omega_t * dT),
+                         0.01 * self.k0)
+        F = j2 / (kT * kT) - 1.0
+        dgamma = dt * self.a_flow * jnp.maximum(F, 0.0) ** self.n_exp
+        norm_xi = jnp.sqrt(2.0 * j2 + 1e-30)
+        # cap at landing ON the threshold surface sqrt(J2(xi)) = K(T)
+        # (|xi_new| = |xi| - 2G sqrt(3/2) dgamma for frozen backstress):
+        # the explicit flow update can never overshoot the elastic domain
+        dg_to_surface = jnp.maximum(norm_xi - jnp.sqrt(2.0) * kT, 0.0) / (
+            2.0 * self.G * jnp.sqrt(1.5))
+        dgamma = jnp.minimum(dgamma, dg_to_surface)
+        nhat = xi / norm_xi
+        deps_p = jnp.sqrt(1.5) * dgamma * nhat
+        back_new = (back + (2.0 / 3.0) * self.hard * deps_p
+                    - dt * self.recov * back)
+        sig = self.K * tr_e * eye + s_tr - 2.0 * self.G * deps_p
+        return sig, jnp.concatenate([(eps_p + deps_p).reshape(9),
+                                     back_new.reshape(9)])

@@ -98,3 +98,104 @@ class IonMat(Material):
 
     def reaction(self, phi):
         return 0.0 * phi
+
+
+@register_material("newman")
+@dataclass
+class NewmanMat(Material):
+    """Binary concentrated electrolyte (Newman model) for the
+    diffusion-conduction elch formulation.
+
+    ref: src/mat/4C_mat_newman.* — concentration-dependent diffusivity
+    D(c), ionic conductivity kappa(c), transference number t+, and
+    thermodynamic factor (1 + dln f/dln c).  The c-dependent properties
+    are symbolic expressions of `c` lowered to jax at deck-parse time.
+    """
+
+    kind = "elch_diffcond"
+    diffusivity: object = 1.0        # float or expression of c
+    conductivity: object = 1.0       # float or expression of c
+    transference: float = 0.5        # cation transference number t+
+    thermfac: object = 1.0           # 1 + dln f / dln c
+    valence: float = 1.0
+    c0: float = 1.0
+    density: float = 1.0
+    temperature: float = 298.0
+    faraday: float = 96485.3329
+    gas_constant: float = 8.314462
+    _fns: dict = field(default=None, repr=False)
+
+    @property
+    def frt(self):
+        return self.faraday / (self.gas_constant * self.temperature)
+
+    def __post_init__(self):
+        from fourc_tpu.core.functions import SymbolicExpression
+
+        fns = {}
+        for name in ("diffusivity", "conductivity", "thermfac"):
+            v = getattr(self, name)
+            if isinstance(v, str):
+                fns[name] = SymbolicExpression(v)
+        object.__setattr__(self, "_fns", fns)
+
+    def _eval(self, name, c):
+        fn = self._fns.get(name)
+        if fn is None:
+            return getattr(self, name) + 0.0 * c
+        return fn(c=c, x=0.0, y=0.0, z=0.0, t=0.0)
+
+    def diff_c(self, c):
+        return self._eval("diffusivity", c)
+
+    def kappa_c(self, c):
+        return self._eval("conductivity", c)
+
+    def thermfac_c(self, c):
+        return self._eval("thermfac", c)
+
+
+@register_material("electrode")
+@dataclass
+class ElectrodeMat(Material):
+    """Intercalation electrode (solid active material).
+
+    ref: src/mat/4C_mat_electrode.* — lithium diffusion D(c) in the solid,
+    electronic conductivity sigma, saturation concentration c_max, and the
+    half-cell open-circuit potential U(x) with x = c/c_max (expression of
+    `x`; the reference offers polynomial/Redlich-Kister/csv forms).
+    """
+
+    kind = "elch_diffcond"
+    diffusivity: object = 1.0        # float or expression of c
+    conductivity: float = 1.0        # electronic sigma (constant)
+    c_max: float = 1.0
+    ocp: object = 0.0                # expression of x = c/c_max
+    c0: float = 0.0
+    density: float = 1.0
+    _fns: dict = field(default=None, repr=False)
+
+    def __post_init__(self):
+        from fourc_tpu.core.functions import SymbolicExpression
+
+        fns = {}
+        if isinstance(self.diffusivity, str):
+            fns["diffusivity"] = SymbolicExpression(self.diffusivity)
+        if isinstance(self.ocp, str):
+            fns["ocp"] = SymbolicExpression(self.ocp)
+        object.__setattr__(self, "_fns", fns)
+
+    def diff_c(self, c):
+        fn = self._fns.get("diffusivity")
+        if fn is None:
+            return self.diffusivity + 0.0 * c
+        return fn(c=c, x=0.0, y=0.0, z=0.0, t=0.0)
+
+    def kappa_c(self, c):
+        return self.conductivity + 0.0 * c
+
+    def ocp_x(self, x):
+        fn = self._fns.get("ocp")
+        if fn is None:
+            return self.ocp + 0.0 * x
+        return fn(x=x, y=0.0, z=0.0, t=0.0)

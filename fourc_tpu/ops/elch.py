@@ -57,3 +57,46 @@ def residual_np(Xe, ce, cdote, phie, cell: CellType, valences, diffs, frt,
     enc = jnp.einsum("egk,k->eg", c, z)
     f_phi = enc_scale * jnp.einsum("eg,ga,eg->ea", wdet, N, enc)
     return f_c, f_phi
+
+
+def residual_diffcond(Xe, ce, cdote, phie, cell: CellType, mat):
+    """Diffusion-conduction (Newman) elch residuals for a binary
+    concentrated electrolyte (ref:
+    src/scatra_ele/4C_scatra_ele_calc_elch_diffcond.* with
+    MAT_newman, 4C_mat_newman.*).
+
+    Current density   i = -kappa(c) grad phi
+                          + (2RT/F) kappa(c) (1 - t+) f_th(c) grad ln c
+    species (c):   int N_a cdot + int grad N_a . D(c) grad c
+                   - (t+ / F) int grad N_a . i             = 0
+    potential:     -(1/F) int grad N_a . i                 = 0
+
+    Xe: (e, nen, d); ce/cdote/phie: (e, nen).  Returns (f_c, f_phi),
+    each (e, nen).  Monovalent binary salt (z+ = 1) as in the
+    reference's Newman material.
+    """
+    G, detJ = gm.iso_gradients(Xe, cell.dN)
+    wdet = gm.weighted(detJ, cell.gauss_weights)
+    N = jnp.asarray(cell.N, Xe.dtype)
+
+    c = jnp.maximum(jnp.einsum("ga,ea->eg", N, ce), 1e-12)  # (e,g)
+    cdot = jnp.einsum("ga,ea->eg", N, cdote)
+    gc = jnp.einsum("egad,ea->egd", G, ce)     # (e,g,d)
+    gphi = jnp.einsum("egad,ea->egd", G, phie)
+
+    F = mat.faraday
+    frt = mat.frt
+    tp = mat.transference
+    D = mat.diff_c(c)          # (e,g)
+    kap = mat.kappa_c(c)
+    fth = mat.thermfac_c(c)
+
+    # i = -kappa grad phi + (2/ frt) kappa (1-t+) f_th grad c / c
+    conc_coef = (2.0 / frt) * kap * (1.0 - tp) * fth / c  # (e,g)
+    i_gp = -kap[..., None] * gphi + conc_coef[..., None] * gc
+
+    f_c = jnp.einsum("eg,ga,eg->ea", wdet, N, cdot)
+    f_c = f_c + jnp.einsum("eg,egad,egd->ea", wdet, G,
+                           D[..., None] * gc - (tp / F) * i_gp)
+    f_phi = -jnp.einsum("eg,egad,egd->ea", wdet, G, i_gp) / F
+    return f_c, f_phi

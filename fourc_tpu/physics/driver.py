@@ -52,10 +52,12 @@ def run(deck_src, callbacks=None) -> RunResult:
         return structure_driver.run(deck, callbacks=callbacks)
     if ptype in ("scatra", "elch"):
         if ptype == "elch" and any(
-            str(spec.get("type", "")).lower() == "elchmat"
+            str(spec.get("type", "")).lower() in ("elchmat", "newman",
+                                                  "electrode")
             for spec in deck.materials.values()
         ):
-            # multi-species Nernst-Planck + potential (ENC closure)
+            # multi-species Nernst-Planck + potential (ENC closure) or
+            # binary diffusion-conduction (Newman)
             from fourc_tpu.physics import elch_driver
 
             return elch_driver.run(deck, callbacks)

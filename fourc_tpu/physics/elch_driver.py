@@ -74,9 +74,12 @@ class ElchField:
         self.params = params
         self.functions = functions or FunctionManager()
         mats = {mid: m for mid, m in materials.items()
-                if getattr(m, "kind", "") == "elch"}
+                if getattr(m, "kind", "") in ("elch", "elch_diffcond")}
         self.mat = next(iter(mats.values()))
-        self.K = len(self.mat.species)
+        # formulation: Nernst-Planck + ENC (elchmat) vs diffusion-conduction
+        # (Newman binary electrolyte; ref Inpar::ElCh::diffcond)
+        self.diffcond = getattr(self.mat, "kind", "") == "elch_diffcond"
+        self.K = 1 if self.diffcond else len(self.mat.species)
         self.ndpn = self.K + 1
         self.dofmap = disc.dofmap(self.ndpn)
         self.ndof = self.dofmap.ndof
@@ -93,6 +96,18 @@ class ElchField:
                         for key in self.dofmap.blocks}
         # ENC row scaling for conditioning (dimensionless O(1) wrt species eq)
         self.enc_scale = 1.0
+        # preconditioner constants, computed EAGERLY here: the
+        # c-dependent material laws are jnp expressions, and
+        # build_preconditioner runs under the jitted step trace where
+        # float() of a staged constant fails
+        if self.diffcond:
+            c0 = jnp.asarray(float(self.mat.c0))
+            self._pc_props = (
+                np.asarray([float(self.mat.diff_c(c0))]),
+                float(self.mat.kappa_c(c0)) / self.mat.faraday,
+            )
+        else:
+            self._pc_props = (np.asarray(self.mat.diffs), None)
         # electrode-kinetics (S2I Butler-Volmer) boundary data
         self.electrodes = []  # [(spec dict, face cell, conn, Xf)]
 
@@ -125,7 +140,8 @@ class ElchField:
         frt = self.mat.frt
         for spec, fc, conn, Xf in self.electrodes:
             k = int(spec.get("species", 1)) - 1
-            z = self.mat.valences[k]
+            z = (self.mat.valence if self.diffcond
+                 else self.mat.valences[k])
             i0 = float(spec["i0"])
             aa = float(spec.get("alpha_a", 0.5))
             ac = float(spec.get("alpha_c", 0.5))
@@ -145,6 +161,13 @@ class ElchField:
             fe = jnp.einsum("g,eg,ga,eg->ea", w, dA, N, i / (z * F))
             dof = conn * self.ndpn + k
             r = r.at[dof.reshape(-1)].add(-fe.reshape(-1))
+            if self.diffcond:
+                # current continuity: the interfacial current density also
+                # loads the potential row (ref: diffcond electrode-kinetics
+                # boundary terms feed both c and phi equations)
+                fphi = jnp.einsum("g,eg,ga,eg->ea", w, dA, N, i / F)
+                dphi = conn * self.ndpn + self.K
+                r = r.at[dphi.reshape(-1)].add(-fphi.reshape(-1))
         return r
 
     def _cell(self, key):
@@ -169,11 +192,17 @@ class ElchField:
             ydote = dm.gather(ydot, key)
             ce, phie = ye[..., : self.K], ye[..., self.K]
             cdote = ydote[..., : self.K]
-            f_c, f_phi = eops.residual_np(
-                self.block_X[key], ce, cdote, phie, cell,
-                self.mat.valences, self.mat.diffs, self.mat.frt,
-                enc_scale=self.enc_scale,
-            )
+            if self.diffcond:
+                f_c1, f_phi = eops.residual_diffcond(
+                    self.block_X[key], ce[..., 0], cdote[..., 0], phie,
+                    cell, self.mat)
+                f_c = f_c1[..., None]
+            else:
+                f_c, f_phi = eops.residual_np(
+                    self.block_X[key], ce, cdote, phie, cell,
+                    self.mat.valences, self.mat.diffs, self.mat.frt,
+                    enc_scale=self.enc_scale,
+                )
             per_block[key] = jnp.concatenate([f_c, f_phi[..., None]], axis=-1) \
                 .reshape(f_c.shape[0], -1)
         return dm.scatter_add(per_block) + self._electrode_flux(y, t)
@@ -186,7 +215,7 @@ class ElchField:
 
         dm = self.dofmap
         per_block = {}
-        D = np.asarray(self.mat.diffs)
+        D, kap0 = self._pc_props  # eager (build_preconditioner is traced)
         for key in dm.blocks:
             cell = self._cell(key)
             G, detJ = gm.iso_gradients(self.block_X[key], cell.dN)
@@ -196,7 +225,11 @@ class ElchField:
             mdiag = jnp.einsum("eg,ga,ga->ea", wdet, N, N)
             dk = kdiag[..., None] * jnp.asarray(D, wdet.dtype) \
                 + dt_factor * mdiag[..., None]  # (e, nen, K)
-            dphi = jnp.ones_like(kdiag)[..., None]
+            if kap0 is not None:
+                # diffcond potential row: ohmic diagonal kappa/F
+                dphi = kap0 * kdiag[..., None]
+            else:
+                dphi = jnp.ones_like(kdiag)[..., None]
             per_block[key] = jnp.concatenate([dk, dphi], axis=-1) \
                 .reshape(kdiag.shape[0], -1)
         diag = dm.scatter_add(per_block)
