@@ -19,6 +19,18 @@ def main():
     import jax
     import numpy as np
 
+    # persistent XLA compilation cache: the 1.17M-dof fused step program
+    # compiles in ~4-5 min on the remote TPU; cached reruns cut that to
+    # seconds (harmless miss on a fresh machine)
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
     from fourc_tpu.core import gridgen
     from fourc_tpu.core.conditions import DirichletBC, NeumannBC
     from fourc_tpu.materials import make_material

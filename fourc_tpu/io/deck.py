@@ -165,6 +165,10 @@ def _dyn_spec(default_dyntype, dyntypes):
                 doc="LES model (ref PHYSICAL_MODEL in TURBULENCE MODEL)"),
             "csgs": param(float, 0.25,
                           doc="multifractal SGS coefficient (ref CSGS)"),
+            "sampling_start": param(
+                int, 0,
+                doc="turbulence statistics: first sampled step (0=off; "
+                    "ref SAMPLING_START in TURBULENCE MODEL)"),
             "prestress": param(str, "none", choices=("none", "mulf"),
                                doc="prestressing technology (ref PRESTRESS)"),
             "prestress_steps": param(int, 0),

@@ -47,6 +47,10 @@ class FluidParams:
     divercont: str = "stop"
     max_halvings: int = 5
     dtype: str = "float64"
+    # turbulence statistics sampling (ref: TURBULENCE statistics manager,
+    # SAMPLING_START): 0 = off; N = accumulate nodal (u, p) moments from
+    # step N on, inside the jitted step (physics/turbulence_stats.py)
+    sampling_start: int = 0
 
 
 class FluidField:
@@ -353,6 +357,10 @@ def init_state(f: FluidField):
     }
     if f.windkessel:
         state["pwk"] = jnp.asarray([c["p0"] for c in f.windkessel], dtype)
+    if f.params.sampling_start:
+        from fourc_tpu.physics import turbulence_stats as ts
+
+        state["tstat"] = ts.init_stats(f.disc.n_nodes, f.ndpn - 1, dtype)
     return state
 
 
@@ -369,6 +377,19 @@ def make_step(f: FluidField, dt: float | None = None):
         raw = _make_genalpha_step(f, dt)
     else:
         raise ValueError(f"unknown FLUID DYNAMICTYPE {typ!r}")
+    if f.params.sampling_start:
+        from fourc_tpu.physics import turbulence_stats as ts
+
+        start = int(f.params.sampling_start)
+        inner = raw
+
+        def raw(state):  # noqa: F811 — statistics-sampling wrapper
+            new, stats = inner(state)
+            w = (new["step"] >= start).astype(new["x"].dtype)
+            new["tstat"] = ts.accumulate(new["tstat"], new["x"], f.ndpn,
+                                         weight=w)
+            return new, stats
+
     return jax.jit(raw)
 
 

@@ -32,6 +32,7 @@ def build_field(deck, disc_name="fluid", extra_dirichlet=()) -> pf.FluidField:
         smagorinsky_cs=dyn.get("smagorinsky_cs", 0.0) or 0.0,
         turbulence_model=dyn.get("turbulence_model", "none"),
         csgs=dyn.get("csgs", 0.25) or 0.25,
+        sampling_start=dyn.get("sampling_start", 0) or 0,
         supg=dyn.get("stab", "taylor") != "zero",
         pspg=dyn.get("stab", "taylor") != "zero",
         graddiv=dyn.get("stab", "taylor") != "zero",
