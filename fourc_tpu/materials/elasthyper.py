@@ -550,6 +550,106 @@ class CoupAnisoExpoTwoCoup(Summand):
         )
 
 
+@register_summand("coupanisoexposhear")
+@dataclass
+class CoupAnisoExpoShear(Summand):
+    """Exponential fiber-fiber shear coupling between two families
+    (ref: 4C_mat_elast_coupanisoexposhear.hpp):
+      psi = a_fs/(2 b_fs) (exp(b_fs (I8 - f.s)^2) - 1),  I8 = f.C.s
+    """
+
+    a_fs: float
+    b_fs: float
+    f: tuple = (1.0, 0.0, 0.0)
+    s: tuple = (0.0, 1.0, 0.0)
+
+    def psi(self, inv):
+        f, s = _unit(self.f), _unit(self.s)
+        I8 = f @ (inv["C"] @ s)
+        x = I8 - jnp.dot(f, s)
+        return self.a_fs / (2.0 * self.b_fs) * (jnp.exp(self.b_fs * x**2) - 1.0)
+
+
+@register_summand("couptransverselyisotropic")
+@dataclass
+class CoupTransverselyIsotropic(Summand):
+    """Bonet-Burton transversely isotropic hyperelastic reinforcement
+    (ref: 4C_mat_elast_couptransverselyisotropic.cpp:173):
+      psi = (alpha + beta/2 ln I3 + gamma (I4-1)) (I4-1) - alpha/2 (I5-1)
+    with I4 = a.C.a, I5 = a.C^2.a.  Parameters (alpha, beta, gamma) come
+    from the linear transversely isotropic compliance (Schuermann)."""
+
+    alpha: float
+    beta: float
+    gamma: float
+    a: tuple = (1.0, 0.0, 0.0)
+
+    def psi(self, inv):
+        a = _unit(self.a)
+        C = inv["C"]
+        Ca = C @ a
+        I4 = a @ Ca
+        I5 = Ca @ Ca
+        x = I4 - 1.0
+        return (
+            (self.alpha + 0.5 * self.beta * jnp.log(inv["I3"]) + self.gamma * x) * x
+            - 0.5 * self.alpha * (I5 - 1.0)
+        )
+
+
+@register_summand("coupanisoexpoactive")
+@dataclass
+class CoupAnisoExpoActive(Summand):
+    """Active fiber family: Holzapfel passive exponential (separate
+    compression branch) + constant active fiber tension (Wilson/Baek/
+    Humphrey AAA G&R; ref: 4C_mat_elast_coupanisoexpoactive.cpp).
+
+    Passive: k1/(2 k2)(exp(k2 (I4-1)^2)-1), with (k1comp, k2comp) when
+    I4 < 1.  Active: the reference adds S_act = dPsi_act * A / I4 with
+    dPsi_act = s/dens (1 - (lambdamax-1)^2/(lambdamax-lambda0)^2) held
+    constant (active stretch = 1); that stress is exactly the C-gradient
+    of psi_act = dPsi_act/2 * ln I4, which is the form used here so stress
+    AND energy stay AD-consistent."""
+
+    k1: float
+    k2: float
+    s: float = 0.0
+    dens: float = 1.0
+    lambdamax: float = 1.4
+    lambda0: float = 0.8
+    k1comp: float = 0.0
+    k2comp: float = 1.0
+    a: tuple = (1.0, 0.0, 0.0)
+
+    def psi(self, inv):
+        I4 = _I4(inv, self.a)
+        x = I4 - 1.0
+        tens = self.k1 / (2.0 * self.k2) * (jnp.exp(self.k2 * x**2) - 1.0)
+        comp = self.k1comp / (2.0 * self.k2comp) * (
+            jnp.exp(self.k2comp * x**2) - 1.0)
+        passive = jnp.where(I4 >= 1.0, tens, comp)
+        dpsi_act = self.s / self.dens * (
+            1.0 - (self.lambdamax - 1.0) ** 2 / (self.lambdamax - self.lambda0) ** 2)
+        return passive + 0.5 * dpsi_act * jnp.log(jnp.maximum(I4, 1e-12))
+
+
+@register_summand("isotestmaterial")
+@dataclass
+class IsoTestMaterial(Summand):
+    """ref: 4C_mat_elast_isotestmaterial.cpp — coupling-complete test
+    summand: c1(I1b-3) + c1/2 (I1b-3)^2 + c2(I2b-3) + c2/2 (I2b-3)^2
+    + d (I1b-3)(I2b-3)."""
+
+    c1: float
+    c2: float
+
+    def psi(self, inv):
+        d = self.c1 + 2.0 * self.c2
+        x, y = inv["I1b"] - 3.0, inv["I2b"] - 3.0
+        return (self.c1 * x + 0.5 * self.c1 * x**2 + self.c2 * y
+                + 0.5 * self.c2 * y**2 + d * x * y)
+
+
 # --- the composed material ---------------------------------------------------
 
 

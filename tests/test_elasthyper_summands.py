@@ -47,6 +47,13 @@ SUMMANDS = [
     {"type": "isoanisoexpo", "k1": 10.0, "k2": 1.0, "a": [1, 0, 0]},
     {"type": "coupanisoexpotwocoup", "a4": 10.0, "b4": 1.0, "a6": 8.0,
      "b6": 1.0, "a8": 4.0, "b8": 1.0, "a": [1, 0, 0], "b": [0, 1, 0]},
+    {"type": "coupanisoexposhear", "a_fs": 10.0, "b_fs": 1.0,
+     "f": [1, 0, 0], "s": [0, 1, 0]},
+    {"type": "couptransverselyisotropic", "alpha": 10.0, "beta": 5.0,
+     "gamma": 20.0, "a": [1, 0, 0]},
+    {"type": "coupanisoexpoactive", "k1": 10.0, "k2": 1.0, "k1comp": 5.0,
+     "k2comp": 1.0, "s": 0.0, "a": [1, 0, 0]},
+    {"type": "isotestmaterial", "c1": 10.0, "c2": 5.0},
 ]
 
 IDS = [f"{i}_{s['type']}" for i, s in enumerate(SUMMANDS)]
@@ -152,3 +159,48 @@ def test_principal_stretch_gradients_at_identity():
     S = np.asarray(m.pk2(jnp.eye(3)))
     assert np.all(np.isfinite(S))
     assert np.abs(S).max() < 1e-5
+
+
+def test_exposhear_matches_twocoup_i8_term():
+    """The standalone shear summand equals the I8 part of twocoup."""
+    m = make_material({"type": "elasthyper", "summands": [
+        {"type": "coupanisoexposhear", "a_fs": 10.0, "b_fs": 1.0,
+         "f": [1, 0, 0], "s": [0, 1, 0]}]})
+    gamma = 0.1
+    F_sh = jnp.eye(3).at[0, 1].set(gamma)
+    C_sh = F_sh.T @ F_sh
+    want = 10.0 / 2.0 * (np.exp(0.1**2) - 1.0)
+    assert float(m.psi(C_sh)) == pytest.approx(want, rel=1e-3)
+
+
+def test_transversely_isotropic_energy_value():
+    """psi matches the reference closed form
+    (ref: 4C_mat_elast_couptransverselyisotropic.cpp:173)."""
+    alpha, beta, gamma = 10.0, 5.0, 20.0
+    m = make_material({"type": "elasthyper", "summands": [
+        {"type": "couptransverselyisotropic", "alpha": alpha, "beta": beta,
+         "gamma": gamma, "a": [1, 0, 0]}]})
+    C = np.asarray(C_DEF)
+    I3 = np.linalg.det(C)
+    I4 = C[0, 0]
+    I5 = (C @ C)[0, 0]
+    want = (alpha + 0.5 * beta * np.log(I3) + gamma * (I4 - 1.0)) * (I4 - 1.0) \
+        - 0.5 * alpha * (I5 - 1.0)
+    assert float(m.psi(C_DEF)) == pytest.approx(float(want), rel=1e-6)
+
+
+def test_expoactive_active_stress_along_fiber():
+    """With k1=0 the summand reduces to the constant active fiber tension:
+    S = dPsi_act * A / I4 (ref: 4C_mat_elast_coupanisoexpoactive.cpp
+    evaluate_active_stress_cmat_aniso)."""
+    s, dens, lmax, l0 = 50.0, 1.0, 1.4, 0.8
+    m = make_material({"type": "elasthyper", "summands": [
+        {"type": "coupanisoexpoactive", "k1": 1e-12, "k2": 1.0,
+         "s": s, "dens": dens, "lambdamax": lmax, "lambda0": l0,
+         "a": [1, 0, 0]}]})
+    C = jnp.diag(jnp.array([1.2**2, 0.95, 0.9]))
+    S = np.asarray(m.pk2(C))
+    dpsi_act = s / dens * (1.0 - (lmax - 1.0) ** 2 / (lmax - l0) ** 2)
+    want = dpsi_act / 1.2**2
+    assert S[0, 0] == pytest.approx(want, rel=1e-5)
+    assert abs(S[1, 1]) < 1e-8 and abs(S[2, 2]) < 1e-8
