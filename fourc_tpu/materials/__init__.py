@@ -9,4 +9,4 @@ cmat — the Newton operator differentiates through the whole residual with
 """
 
 from fourc_tpu.materials.base import MATERIAL_REGISTRY, Material, make_material  # noqa: F401
-from fourc_tpu.materials import elastic, elasthyper, small_strain, thermal, fluid, scatra, plasticity, viscoelastic, poro, multiscale, myocard, growth, structural, muscle  # noqa: F401
+from fourc_tpu.materials import elastic, elasthyper, small_strain, thermal, fluid, scatra, plasticity, viscoelastic, poro, multiscale, myocard, growth, structural, muscle, mixture  # noqa: F401
