@@ -193,7 +193,8 @@ DECK_SPEC = {
                          "cardiac_monodomain", "artery", "red_airways",
                          "porofluidmultiphase", "loma", "sti", "ssti", "ehl", "fs3i", "fpsi",
                          "fbi", "levelset", "pasi", "immersed_fsi",
-                         "porofluid_elast", "porofluid_elast_scatra"),
+                         "porofluid_elast", "porofluid_elast_scatra",
+                         "browniandyn"),
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
@@ -241,6 +242,24 @@ DECK_SPEC = {
             "reinit_sweeps": param(int, 10),
         },
         doc="LEVELSET DYNAMIC (transport + reinitialization)",
+    ),
+    "brownian_dynamics": group(
+        {
+            "kt": param(float, 0.0, doc="thermal energy kT (0 = "
+                                        "deterministic relaxation)"),
+            "viscosity": param(float, 1.0),
+            "damping_coeff": param(float, 1.0,
+                                   doc="per-unit-length translational drag"),
+            "seed": param(int, 0),
+            "timestep": param(float, 0.01),
+            "numstep": param(int, 1),
+            "crosslinking": param(dict, None,
+                                  doc="optional crosslinking submodel: "
+                                      "{n_linkers, k_on, k_off, k_spring, "
+                                      "l0, r_reach, diffusivity, seed}"),
+        },
+        doc="BROWNIAN DYNAMICS (overdamped Langevin on beams/spheres; "
+            "ref: src/browniandyn)",
     ),
     "fbi_dynamic": group(
         {
