@@ -544,6 +544,21 @@ def _build_geometry(geo: dict, cfg) -> dict:
                     u=tuple(g.pop("u", (1, 0, 0))), v=tuple(g.pop("v", (0, 1, 0))),
                     cell=g.pop("cell", "quad4"), name=name, mat_id=mat,
                 )
+            elif kind == "kl_patch":
+                # Kirchhoff-Love shell B-spline sheet (ref: src/shell_kl_nurbs)
+                from fourc_tpu.ops import klshell as _kls
+
+                patch = _kls.build_kl_patch(
+                    int(g.pop("nx")), int(g.pop("ny")),
+                    degree=int(g.pop("degree", 2)),
+                    origin=tuple(g.pop("origin", (0, 0, 0))),
+                    u_vec=tuple(g.pop("u", (1, 0, 0))),
+                    v_vec=tuple(g.pop("v", (0, 1, 0))),
+                )
+                d = Discretization(name=name, coords=np.asarray(patch["coords"]))
+                d.node_sets.update({k: np.asarray(v, np.int32)
+                                    for k, v in patch["node_sets"].items()})
+                d._kl_patch = patch
             elif kind == "nurbs_patch":
                 from fourc_tpu.core import nurbs
 

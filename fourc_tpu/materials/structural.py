@@ -79,3 +79,23 @@ class RigidSphere(Material):
 
 
 register_material("rigidsphere")(RigidSphere)
+
+
+class KLShellMaterial(Material):
+    """Kirchhoff-Love NURBS shell section: SVK plane stress + thickness
+    (ref: src/shell_kl_nurbs — 4C_shell_kl_nurbs.* element parameters)."""
+
+    kind = "klshell"
+
+    def __init__(self, youngs, nue, thickness, density=0.0):
+        self.youngs = float(youngs)
+        self.nue = float(nue)
+        self.thickness = float(thickness)
+        self.density = float(density)
+
+    @classmethod
+    def from_deck(cls, params):
+        return cls(**params)
+
+
+register_material("kl_shell")(KLShellMaterial)

@@ -45,9 +45,9 @@ def build_field(deck, disc_name="structure"):
     materials = {mid: make_material(spec) for mid, spec in deck.materials.items()}
     conds = deck.conditions.get(disc_name, {})
     _beam_kinds = ("beam", "truss", "torsion_spring", "rigidsphere")
-    if all(b.cell == "line2" for b in disc.blocks.values()) or all(
+    if disc.blocks and (all(b.cell == "line2" for b in disc.blocks.values()) or all(
             getattr(materials[int(np.asarray(b.mat_id)[0])], "kind", "")
-            in _beam_kinds for b in disc.blocks.values()):
+            in _beam_kinds for b in disc.blocks.values())):
         from fourc_tpu.physics.beam import BeamField
 
         bc = conds.get("beam_contact")
@@ -56,6 +56,23 @@ def build_field(deck, disc_name="structure"):
             dirichlet=conds.get("dirichlet", ()),
             point_neumann=conds.get("point_neumann", ()),
             beam_contact=bc[0] if bc else None,
+            functions=deck.functions,
+        )
+    if any(getattr(m, "kind", "") == "klshell" for m in materials.values()):
+        from fourc_tpu.physics.shell import KLShellField
+
+        patch = getattr(disc, "_kl_patch", None)
+        if patch is None:
+            raise ValueError("kl_shell material requires a kl_patch "
+                             "geometry generator")
+        m = next(mm for mm in materials.values()
+                 if getattr(mm, "kind", "") == "klshell")
+        return KLShellField(
+            patch,
+            {"youngs": m.youngs, "nue": m.nue, "thickness": m.thickness},
+            params,
+            dirichlet=conds.get("dirichlet", ()),
+            point_neumann=conds.get("point_neumann", ()),
             functions=deck.functions,
         )
     if any(getattr(m, "kind", "") == "shell7p" for m in materials.values()):
@@ -135,7 +152,8 @@ def run(deck, callbacks=None) -> drv.RunResult:
     timers = Timers()
     with timers("setup"):
         from fourc_tpu.physics.beam_solid import BeamSolidField
-        from fourc_tpu.physics.shell import Shell7pField, ShellField
+        from fourc_tpu.physics.shell import (KLShellField, Shell7pField,
+                                             ShellField)
 
         if "beams" in deck.disc and "structure" in deck.disc:
             # embedded fibers: solid + beams + volume mesh tying
@@ -160,7 +178,8 @@ def run(deck, callbacks=None) -> drv.RunResult:
                                surface_contact=sc)
         else:
             f = build_field(deck)
-        if isinstance(f, (pb.BeamField, ShellField, Shell7pField, BeamSolidField)):
+        if isinstance(f, (pb.BeamField, ShellField, Shell7pField,
+                          KLShellField, BeamSolidField)):
             state = ps.compute_initial_state(f, pb.init_state(f))
             mkstep = lambda dt: pb.make_step(f, dt)  # noqa: E731
         else:
