@@ -243,6 +243,16 @@ DECK_SPEC = {
         },
         doc="LEVELSET DYNAMIC (transport + reinitialization)",
     ),
+    "particle_dynamic": group(
+        {
+            "kind": param(str, "dem", choices=("dem", "sph")),
+            "timestep": param(float, 0.01),
+            "numstep": param(int, 1),
+            "substeps": param(int, 10),
+        },
+        doc="PARTICLE DYNAMIC (standalone DEM/SPH; ref: "
+            "src/particle_algorithm)",
+    ),
     "brownian_dynamics": group(
         {
             "kt": param(float, 0.0, doc="thermal energy kT (0 = "
@@ -495,7 +505,10 @@ def load(src) -> Deck:
     for fid, expr in (cfg.get("functions") or {}).items():
         functions.add(int(fid), expr)
 
-    disc = _build_geometry(cfg.get("geometry") or {}, cfg)
+    if cfg["problem"]["type"] == "particle" and not cfg.get("geometry"):
+        disc = {}  # pure particle problems carry no mesh
+    else:
+        disc = _build_geometry(cfg.get("geometry") or {}, cfg)
     conditions = _build_conditions(cfg.get("conditions") or {}, disc)
 
     return Deck(

@@ -160,6 +160,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import pasi_driver
 
         return pasi_driver.run(deck, callbacks=callbacks)
+    if ptype == "particle":
+        from fourc_tpu.physics import particle_driver
+
+        return particle_driver.run(deck, callbacks=callbacks)
     if ptype == "browniandyn":
         from fourc_tpu.physics import browniandyn_driver
 

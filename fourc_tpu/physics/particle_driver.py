@@ -1,0 +1,132 @@
+"""Standalone particle problem driver: DEM / SPH without a structure.
+
+Counterpart of the reference's pure-particle simulations
+(ref: src/particle_algorithm — ParticleAlgorithm time loop over the
+particle engine, DEM/SPH interactions; the pasi driver couples the same
+engine to a structure, here the particle field runs alone).
+
+Deck::
+
+  problem: {type: particle}
+  particle_dynamic: {kind: dem | sph, timestep: .., numstep: ..,
+                     substeps: 10}
+  particles:
+    positions: [[x,y,z], ...]   # or generator: {kind: grid, lo, hi, n}
+    velocities: [[...], ...]    # optional
+    radii: 0.1                  # scalar or list (DEM)
+    mass: 1.0
+    dem: {k_normal, damp_normal, friction_mu, rolling_mu, adhesion_f0,
+          adhesion_gap, gravity}
+    sph: {h, rho0, c0, gamma, alpha_visc, surface_tension, gravity}
+    boundary: [i, j, ...]       # static boundary-particle indices (SPH)
+    walls: [{point: [..], normal: [..]}]   # analytic planes (DEM)
+
+Result tests address particles by index: quantity posx/posy/posz/velx/...
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from fourc_tpu.physics import driver as drv
+from fourc_tpu.utils.timer import Timers
+
+
+def _coerce(d):
+    """YAML 1.1 quirk: '5.0e4' (exponent without sign) parses as a string —
+    coerce numeric-looking strings (same guard as io/deck.py materials)."""
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, str):
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        out[k] = v
+    return out
+
+
+def _positions(psec):
+    gen = psec.get("generator")
+    if gen:
+        lo = np.asarray(gen.get("lo", (0, 0, 0)), float)
+        hi = np.asarray(gen.get("hi", (1, 1, 1)), float)
+        n = np.asarray(gen.get("n", (2, 2, 2)), int)
+        axes = [np.linspace(lo[d], hi[d], int(n[d])) for d in range(len(n))]
+        grid = np.meshgrid(*axes, indexing="ij")
+        return np.stack([g.reshape(-1) for g in grid], axis=1)
+    return np.asarray(psec["positions"], float)
+
+
+def run(deck, callbacks=None) -> drv.RunResult:
+    from fourc_tpu.particles import engine as pe
+
+    timers = Timers()
+    psec = dict(deck.sections.get("particles") or deck.raw.get("particles") or {})
+    dyn = deck.sections["particle_dynamic"]
+    x0 = _positions(psec)
+    n_p, dim = x0.shape
+    masses = jnp.asarray(np.broadcast_to(
+        np.asarray(psec.get("mass", 1.0), float), (n_p,)))
+    v0 = psec.get("velocities")
+    v0 = None if v0 is None else jnp.asarray(np.asarray(v0, float))
+    state = pe.init_state(x0, v0)
+    n_sub = int(dyn["substeps"])
+    dt_sub = float(dyn["timestep"]) / n_sub
+
+    kind = str(dyn["kind"]).lower()
+    with timers("setup"):
+        if kind == "dem":
+            radii = jnp.asarray(np.broadcast_to(
+                np.asarray(psec.get("radii", 0.1), float), (n_p,)))
+            dp = _coerce(dict(psec.get("dem") or {}))
+            if "gravity" in dp:
+                dp["gravity"] = tuple(dp["gravity"])
+            params = pe.DemParams(**dp)
+            walls = [(tuple(w["point"]), tuple(w["normal"]))
+                     for w in (psec.get("walls") or [])]
+            step = pe.make_dem_stepper(params, radii, masses, walls=walls,
+                                       n_sub=n_sub)
+        elif kind == "sph":
+            sp = _coerce(dict(psec.get("sph") or {}))
+            if "gravity" in sp:
+                sp["gravity"] = tuple(sp["gravity"])
+            params = pe.SphParams(**sp)
+            boundary = None
+            if psec.get("boundary") is not None:
+                boundary = np.zeros(n_p, bool)
+                boundary[np.asarray(psec["boundary"], int)] = True
+            step = pe.make_sph_stepper(params, masses, n_sub=n_sub,
+                                       boundary=boundary)
+        else:
+            raise ValueError(f"unknown particle_dynamic.kind {kind!r}")
+
+    with timers("step"):
+        for _ in range(int(dyn["numstep"])):
+            state = step(state, dt_sub)
+        float(state["x"][0, 0])  # device sync
+
+    agg = {"steps": int(dyn["numstep"]),
+           "ke": float(0.5 * jnp.sum(
+               masses[:, None] * state["v"] ** 2))}
+    for cb in callbacks or []:
+        cb(state, None)
+    return drv.RunResult(
+        deck=deck, fields={"particles": ParticleFieldView()},
+        states={"particles": state}, stats={"particles": agg},
+        timers=timers)
+
+
+class ParticleFieldView:
+    """Result-test access: per-particle position/velocity components."""
+
+    _COMP = {"x": 0, "y": 1, "z": 2}
+
+    def node_value(self, state, quantity: str, node: int):
+        q = quantity.lower()
+        if q.startswith("pos"):
+            return float(np.asarray(state["x"])[node, self._COMP[q[-1]]])
+        if q.startswith("vel"):
+            return float(np.asarray(state["v"])[node, self._COMP[q[-1]]])
+        raise KeyError(f"unknown particle quantity {quantity!r}")

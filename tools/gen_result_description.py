@@ -27,7 +27,7 @@ from fourc_tpu.physics import driver  # noqa: E402
 # candidate quantities per field, tried in order; missing ones are skipped
 CANDIDATES = (
     "dispx", "dispy", "dispz", "velx", "vely", "velz", "pressure",
-    "phi", "temp", "area", "flow",
+    "phi", "temp", "area", "flow", "posx", "posy", "posz",
 )
 
 
@@ -36,6 +36,9 @@ def field_nodes(res, name):
     disc = getattr(f, "disc", None)
     if disc is not None:
         return int(disc.n_nodes)
+    st = res.states.get(name)
+    if st is not None and "x" in st:  # particle field: rows of x
+        return int(st["x"].shape[0])
     return 0
 
 
