@@ -128,7 +128,8 @@ def _dyn_spec(default_dyntype, dyntypes):
             "tolres_rel": param(float, 0.0, doc="relative residual tol (NORM_RESF Rel)"),
             "toldisp": param(float, 1e-8, doc="abs increment norm tol (NORM_DISP)"),
             "normcombi": param(str, "and", choices=("and", "or")),
-            "predict": param(str, "constdis", choices=("constdis", "constvel", "tangdis")),
+            "predict": param(str, "constdis",
+                             choices=("constdis", "constvel", "constvelacc", "tangdis")),
             "divercont": param(
                 str, "stop", choices=("stop", "continue", "halve_step", "adapt_step"),
                 doc="Newton divergence action (ref DIVERCONT)",
@@ -235,6 +236,17 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "ale_dynamic": group(
+        {
+            "method": param(str, "laplace", choices=("laplace", "elastic"),
+                            doc="mesh smoothing operator (ref ALE_TYPE)"),
+            "timestep": param(float, 1.0),
+            "numstep": param(int, 1),
+            "tolres": param(float, 1e-8, doc="CG tolerance"),
+            "maxiter": param(int, 400, doc="CG max iterations"),
+        },
+        doc="ALE DYNAMIC (pure mesh-motion problem; ref src/ale/4C_ale_dyn.cpp)",
     ),
     "levelset_dynamic": group(
         {

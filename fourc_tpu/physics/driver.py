@@ -64,6 +64,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import scalar_driver
 
         return scalar_driver.run_scatra(deck, callbacks=callbacks)
+    if ptype == "ale":
+        from fourc_tpu.physics import ale_driver
+
+        return ale_driver.run(deck, callbacks=callbacks)
     if ptype == "thermo":
         from fourc_tpu.physics import scalar_driver
 

@@ -71,7 +71,7 @@ class SolidParams:
     rayleigh_beta: float = 0.0  # ref K_DAMP
     divercont: str = "stop"  # ref DIVERCONT: stop|halve_step|adapt_step
     max_halvings: int = 5
-    predictor: str = "constdis"  # ref PREDICT: constdis|constvelacc|tangdis
+    predictor: str = "constdis"  # ref PREDICT: constdis|constvel|constvelacc|tangdis
     dtype: str = "float64"
     # host-orchestrated Newton: the residual and each linear solve compile
     # as SEPARATE programs and the Newton loop runs on the host.  Same
@@ -950,6 +950,23 @@ def _make_statics_step(f: SolidField, dt: float):
     return step
 
 
+def _predict(kind: str, dt, d_n, v_n, a_n):
+    """Displacement predictor for implicit dynamic steps.
+
+    ref PREDICT (4C_structure_new_predict_generic/constdisvelacc): constdis
+    keeps d_n; constvel extrapolates d_n + dt v_n; constvelacc adds the
+    dt^2/2 a_n term.  tangdis (tangential-displacement) maps to constdis
+    here: in the matrix-free Newton the very first iteration IS the
+    tangential solve (K(d_n) du = -r with the new DBC applied), so the
+    reference's separate predictor solve buys nothing.
+    """
+    if kind == "constvelacc":
+        return d_n + dt * v_n + 0.5 * dt * dt * a_n
+    if kind == "constvel":
+        return d_n + dt * v_n
+    return d_n  # constdis / tangdis
+
+
 def _newmark_updates(f, dt, d_new, d_n, v_n, a_n, beta, gamma):
     a_new = (d_new - d_n) / (beta * dt * dt) - v_n / (beta * dt) - (0.5 - beta) / beta * a_n
     v_new = v_n + dt * ((1 - gamma) * a_n + gamma * a_new)
@@ -1031,7 +1048,7 @@ def _make_genalpha_step(f: SolidField, dt: float):
                     r = r + rb * kv
             return r
 
-        u0 = f.dbc.apply(d_n, t1)  # constdis predictor
+        u0 = f.dbc.apply(_predict(f.params.predictor, dt, d_n, v_n, a_n), t1)
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u0, history=hist, dt=dt, mass_shift=(1 - am) / (beta * dt * dt))
         res_fn, spread = f._residual_xform(residual)
@@ -1124,7 +1141,9 @@ def _make_genalpha_step_host(f: SolidField, dt: float, M_gmg):
         return new_state
 
     def predict(state, t1):
-        return f.dbc.apply(state["d"], t1)
+        return f.dbc.apply(
+            _predict(f.params.predictor, dt, state["d"], state["v"], state["a"]),
+            t1)
 
     # separate compile units, all with hoisted field buffers
     residual_norm = f.hoister.jit(residual_norm)
@@ -1199,7 +1218,7 @@ def _make_ost_step(f: SolidField, dt: float):
                 - (th * f.external_force(t1, d_new) + (1 - th) * fext_n)
             )
 
-        u0 = f.dbc.apply(d_n, t1)
+        u0 = f.dbc.apply(_predict(f.params.predictor, dt, d_n, v_n, a_n), t1)
         M = M_gmg if M_gmg is not None else f.build_preconditioner(
             u0, history=hist, dt=dt, mass_shift=1.0 / (th * dt * dt))
         res_fn, spread = f._residual_xform(residual)

@@ -120,7 +120,8 @@ def make_wide_genalpha_step(f, dt: float, M_gmg):
             fint_mid = (1 - af) * force_w(d_new) + af * fint_n
             return mass_op(a_mid) + fint_mid - fmid_ext
 
-        u0 = w_wide * d_n + gw  # constdis predictor
+        from fourc_tpu.physics.solid import _predict
+        u0 = w_wide * _predict(f.params.predictor, dt, d_n, v_n, a_n) + gw
         u, stats = newton_solve(residual, u0, w_wide, M_gmg, f.params.newton)
         v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
         new_state = dict(state)

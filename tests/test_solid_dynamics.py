@@ -176,3 +176,33 @@ def test_time_dependent_dirichlet():
     d = np.asarray(state["d"]).reshape(-1, 3)
     got = d[disc.node_sets["xmax"], 0]
     assert np.abs(got - 0.1).max() < 1e-8
+
+
+@pytest.mark.minimal
+@pytest.mark.parametrize("predictor", ["constvel", "constvelacc"])
+def test_predictor_same_trajectory_fewer_iters(predictor):
+    """Extrapolated predictors (ref PREDICT ConstVel/ConstVelAcc,
+    4C_structure_new_predict_constdisvelacc.cpp) must converge to the SAME
+    trajectory as constdis, and never take more Newton iterations on a
+    smooth free-vibration path."""
+    results = {}
+    for pred in ("constdis", predictor):
+        disc, f = _bar_field("genalpha", dt=0.02,
+                             genalpha=ps.GenAlphaParams(rho_inf=0.9))
+        f.params.predictor = pred
+        d0 = _static_stretch(disc, f)
+        state = ps.init_state(f)
+        state["d"] = d0
+        state = ps.compute_initial_state(f, state)
+        step = ps.make_step(f)
+        iters = 0
+        for _ in range(20):
+            state, stats = step(state)
+            assert bool(stats["converged"])
+            iters += int(stats["iters"])
+        results[pred] = (np.asarray(state["d"]).copy(), iters)
+    d_ref, it_ref = results["constdis"]
+    d_new, it_new = results[predictor]
+    scale = np.abs(d_ref).max()
+    assert np.abs(d_new - d_ref).max() < 1e-5 * scale
+    assert it_new <= it_ref
