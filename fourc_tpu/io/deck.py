@@ -194,6 +194,7 @@ DECK_SPEC = {
                          "cardiac_monodomain", "artery", "red_airways",
                          "porofluidmultiphase", "loma", "sti", "ssti", "ehl", "fs3i", "fpsi",
                          "fbi", "levelset", "pasi", "immersed_fsi",
+                         "fluid_xfem", "fsi_xfem",
                          "porofluid_elast", "porofluid_elast_scatra",
                          "browniandyn"),
             ),
@@ -236,6 +237,32 @@ DECK_SPEC = {
             "convtol_outer": param(float, 1e-8),
         },
         doc="SSI DYNAMIC (scatra-structure interaction)",
+    ),
+    "xfluid_dynamic": group(
+        {
+            "levelset_funct": param(int, 1,
+                                    doc="level-set FUNCT id (fluid: phi<0)"),
+            "interface_funct": param(
+                int, 0, doc="embedded interface velocity FUNCT (0=no-slip)"),
+            "nitsche": param(float, 20.0, doc="Nitsche penalty factor"),
+            "pspg_alpha": param(float, 0.05, doc="PSPG stabilization"),
+            "time": param(float, 0.0, doc="evaluation time for FUNCTs"),
+            "body": None,  # body force vector
+        },
+        doc="XFLUID DYNAMIC (embedded CutFEM fluid; ref src/fluid_xfluid)",
+    ),
+    "xfsi_dynamic": group(
+        {
+            "levelset_funct": param(int, 1,
+                                    doc="level-set FUNCT id (fluid: phi<0)"),
+            "mass": param(float, 1.0, doc="embedded wall mass"),
+            "stiffness": param(float, 0.0, doc="wall mounting spring k"),
+            "timestep": param(float, 0.1),
+            "numstep": param(int, 1),
+            "nitsche": param(float, 20.0),
+        },
+        doc="XFSI DYNAMIC (partitioned cut-FSI, embedded spring-mounted "
+            "wall; ref src/fsi_xfem)",
     ),
     "ale_dynamic": group(
         {

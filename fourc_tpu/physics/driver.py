@@ -64,6 +64,14 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import scalar_driver
 
         return scalar_driver.run_scatra(deck, callbacks=callbacks)
+    if ptype == "fluid_xfem":
+        from fourc_tpu.physics import xfluid_driver
+
+        return xfluid_driver.run(deck, callbacks=callbacks)
+    if ptype == "fsi_xfem":
+        from fourc_tpu.physics import xfsi_driver
+
+        return xfsi_driver.run(deck, callbacks=callbacks)
     if ptype == "ale":
         from fourc_tpu.physics import ale_driver
 
