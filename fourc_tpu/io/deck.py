@@ -194,7 +194,7 @@ DECK_SPEC = {
                          "cardiac_monodomain", "artery", "red_airways",
                          "porofluidmultiphase", "loma", "sti", "ssti", "ehl", "fs3i", "fpsi",
                          "fbi", "levelset", "pasi", "immersed_fsi",
-                         "fluid_xfem", "fsi_xfem",
+                         "fluid_xfem", "fsi_xfem", "fluid_ale",
                          "porofluid_elast", "porofluid_elast_scatra",
                          "browniandyn"),
             ),
@@ -717,6 +717,16 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                         _resolve_nodes(disc, item["nodes"]),
                         onoff=item.get("onoff", [1] * len(item["val"])),
                         val=item["val"], funct=item.get("funct"),
+                    )
+                )
+            elif key == "ale_dirichlet":
+                # prescribed mesh motion (fluid_ale / ale problems; ref:
+                # DESIGN ALE DIRICH conditions, src/ale)
+                f.setdefault("ale_dirichlet", []).append(
+                    DirichletBC(
+                        _resolve_nodes(disc, item["nodes"]),
+                        onoff=item["onoff"], val=item["val"],
+                        funct=item.get("funct"),
                     )
                 )
             elif key == "body_force":

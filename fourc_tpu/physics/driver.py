@@ -64,6 +64,10 @@ def run(deck_src, callbacks=None) -> RunResult:
         from fourc_tpu.physics import scalar_driver
 
         return scalar_driver.run_scatra(deck, callbacks=callbacks)
+    if ptype == "fluid_ale":
+        from fourc_tpu.physics import fluid_ale_driver
+
+        return fluid_ale_driver.run(deck, callbacks=callbacks)
     if ptype == "fluid_xfem":
         from fourc_tpu.physics import xfluid_driver
 
