@@ -88,6 +88,11 @@ class BeamField:
 
                 self.block_gex[key] = beam_gex.make_internal_force(Xe, mat)
 
+        # eager host-side precompute (as SolidField does): computing this
+        # lazily inside a jitted trace would store a tracer on the object
+        # and leak it into the next trace (UnexpectedTracerError).
+        self._ml = self.lumped_mass()
+
     def internal_force(self, u, history=None, dt=None, temps=None,
                        cstate=None, u_old=None):
         dm = self.dofmap
@@ -141,8 +146,6 @@ class BeamField:
         return dm.scatter_add(per_block)
 
     def mass_matvec(self, v):
-        if not hasattr(self, "_ml"):
-            self._ml = self.lumped_mass()
         return self._ml * v
 
     def _residual_xform(self, residual_fn):
