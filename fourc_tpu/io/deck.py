@@ -200,6 +200,10 @@ DECK_SPEC = {
             ),
             "restart": param(int, 0),
             "dtype": param(str, "float64", choices=("float32", "float64")),
+            # device-mesh domain decomposition (the reference's mpirun -np N;
+            # ref: tests/list_of_tests.cmake NP 1-4 deck variants): shard
+            # every field's node/element arrays over an N-device jax Mesh
+            "nshard": param(int, 0, doc="shard fields over N devices (0=off)"),
         },
         required=True,
         doc="PROBLEM TYPE section",

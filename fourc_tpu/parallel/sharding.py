@@ -37,10 +37,14 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def shard_vector(mesh: Mesh, x):
+    if x.shape[0] % mesh.size:  # GSPMD needs even shards; replicate odd
+        return replicate(mesh, x)
     return jax.device_put(x, NamedSharding(mesh, P("mesh")))
 
 
 def shard_leading(mesh: Mesh, x):
+    if x.shape[0] % mesh.size:
+        return replicate(mesh, x)
     spec = P(*(["mesh"] + [None] * (x.ndim - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
 
@@ -50,19 +54,40 @@ def replicate(mesh: Mesh, x):
 
 
 def shard_solid_field(f, mesh: Mesh):
-    """In-place: shard every device array a SolidField holds."""
+    """In-place: shard every device array a SolidField holds.
+
+    perm/sorted_dof index the flattened element-contribution stream;
+    sharded 1-d so the segment_sum runs sharded too.  Neumann face sets
+    are small boundary strips: left replicated.
+    """
+    return _shard_common(f, mesh)
+
+
+def _shard_common(f, mesh: Mesh):
+    """Shared element-array sharding for any nodal field (coords, dofmap
+    blocks, block_X, free mask)."""
     f.coords = shard_leading(mesh, f.coords)
     for key, ba in f.dofmap.blocks.items():
         ba.conn = shard_leading(mesh, ba.conn)
         ba.edof = shard_leading(mesh, ba.edof)
-        # perm/sorted_dof index the flattened element-contribution stream;
-        # shard them 1-d so the segment_sum runs sharded too
         ba.perm = shard_vector(mesh, ba.perm)
         ba.sorted_dof = shard_vector(mesh, ba.sorted_dof)
-        f.block_X[key] = shard_leading(mesh, f.block_X[key])
+        if key in getattr(f, "block_X", {}):
+            f.block_X[key] = shard_leading(mesh, f.block_X[key])
     f.dbc.free_mask = shard_vector(mesh, f.dbc.free_mask)
-    # Neumann face sets are small boundary strips: leave replicated
     return f
+
+
+def shard_scalar_field(f, mesh: Mesh):
+    """Shard a ScalarField (scatra/thermo/elch modes) over the mesh axis —
+    the fluid/scatra analog of the reference's per-field discretization
+    row maps (every field is distributed, not just structure)."""
+    return _shard_common(f, mesh)
+
+
+def shard_fluid_field(f, mesh: Mesh):
+    """Shard a FluidField (velocity+pressure dofs) over the mesh axis."""
+    return _shard_common(f, mesh)
 
 
 def shard_state(state: dict, mesh: Mesh):

@@ -215,9 +215,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
                  "resnorm": res.resnorm, "converged": res.converged}
         return new, stats
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "airways", state, dyn["numstep"], cbs)
     state, agg = drv.time_loop(
-        "airways", state, lambda _dt: step, dt, dyn["numstep"],
-        divercont="stop", callbacks=list(callbacks or []), timers=timers,
+        "airways", state, lambda _dt: step, dt, _nsteps,
+        divercont="stop", callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck, fields={"airways": AirwayView(disc)},

@@ -69,6 +69,10 @@ def run(deck, callbacks=None) -> drv.RunResult:
         "step": 0,
     }
     agg = {"steps": 0}
+    cbs = list(callbacks or [])
+    state, n_steps, cbs = drv.setup_restart(deck, "ale", state, n_steps, cbs)
+    state = dict(state, t=float(state["t"]), step=int(state["step"]))
+    callbacks = cbs
     with timers("step"):
         for _ in range(n_steps):
             t1 = state["t"] + dt

@@ -196,9 +196,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
                  "converged": jnp.isfinite(A1).all()}
         return new, stats
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "artery", state, dyn["numstep"], cbs)
     state, agg = drv.time_loop(
-        "artery", state, lambda _dt: step, dt, dyn["numstep"],
-        divercont="stop", callbacks=list(callbacks or []), timers=timers,
+        "artery", state, lambda _dt: step, dt, _nsteps,
+        divercont="stop", callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck, fields={"artery": ArteryView(f)},

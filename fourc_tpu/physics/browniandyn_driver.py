@@ -34,9 +34,34 @@ def run(deck, callbacks=None):
             k: xcfg[k] for k in ("n_linkers", "k_on", "k_off", "k_spring",
                                  "l0", "r_reach", "diffusivity", "seed")
             if k in xcfg})
+    cbs = list(callbacks or [])
+    state0 = bd.init_state(f, params)
+    if crosslink is not None:
+        from fourc_tpu.coupling import crosslinking as xl
+
+        X = np.asarray(f.disc.coords)
+        state0["linkers"] = xl.init_linkers(crosslink, X.min(0), X.max(0))
+    state0, n_rem, cbs = drv.setup_restart(
+        deck, "browniandyn", state0, cfg["numstep"], cbs)
+    # checkpointing chunks the scan at the restart interval so the
+    # CheckpointCallback sees the intermediate states (the scan itself
+    # stays on device within each chunk)
+    interval = int(deck.sections["io"].get("restart_interval", 0) or 0)
+    chunk = interval if interval > 0 else n_rem
     with timers("browniandyn"):
-        final, traj = bd.run(f, params, dt=cfg["timestep"],
-                             numstep=cfg["numstep"], crosslink=crosslink)
+        final, trajs = state0, []
+        done = 0
+        while done < n_rem:
+            k = min(chunk, n_rem - done)
+            final, traj = bd.run(f, params, dt=cfg["timestep"],
+                                 numstep=k, state=final,
+                                 crosslink=crosslink)
+            trajs.append(np.asarray(traj))
+            done += k
+            for cb in cbs:
+                cb("browniandyn", final, None)
+        traj = np.concatenate(trajs, axis=0) if trajs else np.zeros(
+            (0, f.ndof))
     ux = np.asarray(traj)
     agg = {
         "steps": int(cfg["numstep"]),

@@ -168,9 +168,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
 
         return step
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "cardio0d", state, n_steps, cbs)
     state, agg = drv.time_loop(
-        "cardio0d", state, make_step, dt, n_steps,
-        divercont=sp.divercont, callbacks=list(callbacks or []), timers=timers,
+        "cardio0d", state, make_step, dt, _nsteps,
+        divercont=sp.divercont, callbacks=cbs, timers=timers,
     )
     view = structure_driver.SolidFieldView(solid)
     return drv.RunResult(

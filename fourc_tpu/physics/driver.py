@@ -351,6 +351,27 @@ def time_loop_adaptive(
     return state, agg
 
 
+def maybe_shard(deck, field, state=None):
+    """Deck-driven domain decomposition: problem.nshard = N shards the
+    field's node/element/dof arrays over an N-device jax Mesh (the analog
+    of the reference's NP 1-4 deck variants,
+    ref: tests/list_of_tests.cmake:12).  Returns the (possibly sharded)
+    state; no-op when nshard <= 1."""
+    n = int(deck.problem.get("nshard", 0) or 0)
+    if n <= 1:
+        return state
+    import jax
+
+    from fourc_tpu.parallel import sharding as sh
+
+    if len(jax.devices()) < n:
+        raise ValueError(
+            f"problem.nshard={n} but only {len(jax.devices())} devices")
+    mesh = sh.make_mesh(n)
+    sh._shard_common(field, mesh)
+    return sh.shard_state(state, mesh) if state is not None else None
+
+
 def setup_restart(deck, fieldname, state, n_steps, callbacks):
     """Common restart/checkpoint wiring for all field drivers.
 

@@ -126,9 +126,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
                  "converged": jnp.asarray(bool(conv) and bool(st_s["converged"]))}
         return new, stats
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "ehl", state, cfg["numstep"], cbs)
     state, agg = drv.time_loop(
-        "ehl", state, lambda _dt: step, dt, cfg["numstep"],
-        divercont="stop", callbacks=list(callbacks or []), timers=timers,
+        "ehl", state, lambda _dt: step, dt, _nsteps,
+        divercont="stop", callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck, fields={"ehl": EhlView(sol, lf, surf)},

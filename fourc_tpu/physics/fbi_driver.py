@@ -147,7 +147,14 @@ def run(deck, callbacks=None) -> drv.RunResult:
     agg = {"steps": 0, "newton_iters": 0, "lin_iters": 0}
     t = 0.0
     drag_nodes = jnp.zeros((len(np.where(sel)[0]), dim))
-    for _ in range(cfg["numstep"]):
+    cbs = list(callbacks or [])
+    combo = {"f": state_f, "b": state_b, "drag": drag_nodes,
+             "step": jnp.asarray(0), "t": jnp.asarray(0.0)}
+    combo, n_steps_rem, cbs = drv.setup_restart(deck, "fbi", combo,
+                                                cfg["numstep"], cbs)
+    state_f, state_b = combo["f"], combo["b"]
+    drag_nodes, t = combo["drag"], float(combo["t"])
+    for _ in range(n_steps_rem):
         t1 = t + dt
         # 1) fluid with last step's (opposite) beam drag
         state_f, st_f = solve_fluid(state_f, -drag_nodes, t1)
@@ -165,6 +172,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
         agg["steps"] += 1
         state_f = dict(state_f, t=jnp.asarray(t1), step=state_f["step"] + 1)
         state_b = dict(state_b, t=jnp.asarray(t1), step=state_b["step"] + 1)
+        if cbs:
+            combo = {"f": state_f, "b": state_b, "drag": drag_nodes,
+                     "step": state_f["step"], "t": jnp.asarray(t)}
+            for cb in cbs:
+                cb("fbi", combo, agg)
     print(f"[fbi] {agg['steps']} steps")
 
     return drv.RunResult(

@@ -90,9 +90,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
                    step=state["step"] + 1)
         return new, stats
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "fluid_ale", state, n_steps, cbs)
     state, agg = drv.time_loop(
-        "fluid_ale", state, lambda _dt: step, dt, n_steps,
-        divercont=dyn["divercont"], callbacks=list(callbacks or []),
+        "fluid_ale", state, lambda _dt: step, dt, _nsteps,
+        divercont=dyn["divercont"], callbacks=cbs,
         timers=timers,
     )
     return drv.RunResult(

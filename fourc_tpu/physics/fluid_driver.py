@@ -59,6 +59,7 @@ def run(deck, callbacks=None) -> drv.RunResult:
     with timers("setup"):
         f = build_field(deck)
         state = pf.init_state(f)
+        state = drv.maybe_shard(deck, f, state)
     dyn = deck.sections["fluid_dynamic"]
     n_steps = dyn["numstep"]
     if dyn["maxtime"] is not None:

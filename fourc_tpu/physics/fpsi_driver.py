@@ -108,7 +108,14 @@ def run(deck, callbacks=None) -> drv.RunResult:
     d_if = jnp.zeros((len(coupling.slave_nodes), dim))
     agg = {"steps": 0, "outer_iters": 0, "newton_iters": 0, "lin_iters": 0}
     t = 0.0
-    for _step in range(cfg["numstep"]):
+    cbs = list(callbacks or [])
+    combo = {"s": state, "f": state_f, "mesh_disp": mesh_disp_n,
+             "d_if": d_if, "step": jnp.asarray(0), "t": jnp.asarray(0.0)}
+    combo, n_steps_rem, cbs = drv.setup_restart(deck, "fpsi", combo,
+                                                cfg["numstep"], cbs)
+    state, state_f = combo["s"], combo["f"]
+    mesh_disp_n, d_if, t = combo["mesh_disp"], combo["d_if"], float(combo["t"])
+    for _step in range(n_steps_rem):
         t1 = t + dt
         omega = cfg.get("omega", 0.5)
         r_prev = None
@@ -140,12 +147,18 @@ def run(deck, callbacks=None) -> drv.RunResult:
         state_f, react, _ = solve_fluid(state_f, mesh_disp, mesh_vel, t1)
         p_fluid = state_f["x"].reshape(-1, fluid.ndpn)[f_if, dim]
         d_new, p_new, _ = solve_poro(state, -react, p_fluid, t1)
+        # _finish_state already bumps step/t (double-bump desynced the
+        # restart checkpoint numbering)
         state = poro_driver._finish_state(poro, state, dt, d_new, p_new, t1)
-        state = dict(state, t=jnp.asarray(t1), step=state["step"] + 1)
         state_f = dict(state_f, t=jnp.asarray(t1), step=state_f["step"] + 1)
         mesh_disp_n = mesh_disp
         t = t1
         agg["steps"] += 1
+        if cbs:
+            combo = {"s": state, "f": state_f, "mesh_disp": mesh_disp_n,
+                     "d_if": d_if, "step": state["step"], "t": jnp.asarray(t)}
+            for cb in cbs:
+                cb("fpsi", combo, agg)
     print(f"[fpsi] {agg['steps']} steps, {agg['outer_iters']} outer its")
 
     return drv.RunResult(

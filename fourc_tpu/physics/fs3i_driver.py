@@ -114,7 +114,16 @@ def run(deck, callbacks=None) -> drv.RunResult:
     d_if = jnp.zeros((len(f.coupling.slave_nodes), dim))
     agg = {"steps": 0, "newton_iters": 0, "lin_iters": 0, "outer_iters": 0}
     t = 0.0
-    for _step in range(cfg["numstep"]):
+    cbs = list(callbacks or [])
+    combo = {"s": state_s, "f": state_f, "cf": cf, "cs": cs,
+             "mesh_disp": mesh_disp_n, "d_if": d_if,
+             "step": jnp.asarray(0), "t": jnp.asarray(0.0)}
+    combo, n_steps_rem, cbs = drv.setup_restart(deck, "fs3i", combo,
+                                                cfg["numstep"], cbs)
+    state_s, state_f, cf, cs = combo["s"], combo["f"], combo["cf"], combo["cs"]
+    mesh_disp_n, d_if, t = combo["mesh_disp"], combo["d_if"], float(combo["t"])
+    step0 = int(combo["step"])
+    for _step in range(n_steps_rem):
         t1 = t + dt
         omega = cfg.get("omega", 0.5)
         r_prev = None
@@ -151,6 +160,12 @@ def run(deck, callbacks=None) -> drv.RunResult:
         mesh_disp_n = mesh_disp
         t = t1
         agg["steps"] += 1
+        if cbs:
+            combo = {"s": state_s, "f": state_f, "cf": cf, "cs": cs,
+                     "mesh_disp": mesh_disp_n, "d_if": d_if,
+                     "step": jnp.asarray(step0 + agg["steps"]), "t": jnp.asarray(t)}
+            for cb in cbs:
+                cb("fs3i", combo, agg)
     print(f"[fs3i] {agg['steps']} steps, {agg['outer_iters']} outer FSI its")
 
     return drv.RunResult(

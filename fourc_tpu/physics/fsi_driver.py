@@ -306,10 +306,21 @@ def run(deck, callbacks=None) -> drv.RunResult:
     agg = {"steps": 0, "outer_iters": 0, "newton_iters": 0, "lin_iters": 0}
     t = 0.0
 
+    # restart: checkpoint the COMBINED partitioned state (both fields +
+    # interface/mesh history) under one name (ref: every field implements
+    # read_restart; 4C_fsi_partitionedmonolithic restart flow)
+    cbs = list(callbacks or [])
+    combo = {"s": state_s, "f": state_f, "mesh_disp": mesh_disp_n,
+             "d_if": d_if, "step": jnp.asarray(0), "t": jnp.asarray(0.0)}
+    combo, n_steps_rem, cbs = drv.setup_restart(
+        deck, "fsi", combo, cfg["numstep"], cbs)
+    state_s, state_f = combo["s"], combo["f"]
+    mesh_disp_n, d_if, t = combo["mesh_disp"], combo["d_if"], float(combo["t"])
+
     import time as _time
 
     t_wall = _time.perf_counter()
-    for step in range(cfg["numstep"]):
+    for step in range(n_steps_rem):
         t1 = t + dt
         d_if_n = d_if
         omega = cfg.get("omega", 0.5)
@@ -351,6 +362,12 @@ def run(deck, callbacks=None) -> drv.RunResult:
         mesh_disp_n = mesh_disp
         t = t1
         agg["steps"] += 1
+        if cbs:
+            combo = {"s": state_s, "f": state_f, "mesh_disp": mesh_disp_n,
+                     "d_if": d_if, "step": state_s["step"],
+                     "t": jnp.asarray(t)}
+            for cb in cbs:
+                cb("fsi", combo, agg)
     agg["walltime"] = _time.perf_counter() - t_wall
     print(f"[fsi] {agg['steps']} steps, {agg['outer_iters']} outer its, "
           f"{agg['newton_iters']} Newton its, {agg['walltime']:.3f}s wall")
@@ -385,9 +402,12 @@ def _run_monolithic(deck, callbacks=None) -> drv.RunResult:
             "t": s["t"], "step": s["step"],
         }
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "fsi", state,
+                                            cfg["numstep"], cbs)
     state, agg = drv.time_loop(
         "fsi", state, lambda dtt: make_monolithic_step(f, dtt), dt,
-        cfg["numstep"], divercont="stop", callbacks=list(callbacks or []),
+        _nsteps, divercont="stop", callbacks=cbs,
         timers=timers,
     )
     return drv.RunResult(

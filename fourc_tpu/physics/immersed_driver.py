@@ -169,7 +169,13 @@ def run(deck, callbacks=None) -> drv.RunResult:
     agg = {"steps": 0, "newton_iters": 0, "lin_iters": 0,
            "coupling_iters": 0}
     t = 0.0
-    for _ in range(cfg["numstep"]):
+    cbs = list(callbacks or [])
+    combo = {"s": state_s, "f": state_f, "step": jnp.asarray(0),
+             "t": jnp.asarray(0.0)}
+    combo, n_steps_rem, cbs = drv.setup_restart(deck, "immersed_fsi", combo,
+                                                cfg["numstep"], cbs)
+    state_s, state_f, t = combo["s"], combo["f"], float(combo["t"])
+    for _ in range(n_steps_rem):
         t1 = t + dt
         # 1) re-pair at the current configuration (host; rare-reshard model)
         xs = s_coords[:, :2] + np.asarray(state_s["d"]).reshape(-1, dim)
@@ -211,6 +217,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
         agg["steps"] += 1
         state_f = dict(state_f, t=jnp.asarray(t1), step=state_f["step"] + 1)
         state_s = dict(state_s, t=jnp.asarray(t1), step=state_s["step"] + 1)
+        if cbs:
+            combo = {"s": state_s, "f": state_f, "step": state_s["step"],
+                     "t": jnp.asarray(t)}
+            for cb in cbs:
+                cb("immersed_fsi", combo, agg)
 
     return drv.RunResult(
         deck=deck,

@@ -150,9 +150,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
         }
         return new, stats
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "loma", state, dyn["numstep"], cbs)
     state, agg = drv.time_loop(
-        "loma", state, lambda _dt: step, dt, dyn["numstep"],
-        divercont="stop", callbacks=list(callbacks or []), timers=timers,
+        "loma", state, lambda _dt: step, dt, _nsteps,
+        divercont="stop", callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck, fields={"loma": LomaView(ff, fs)},

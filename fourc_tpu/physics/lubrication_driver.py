@@ -159,9 +159,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
         new.update(p=pn, t=t1, step=state["step"] + 1)
         return new, stats
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "lubrication", state, dyn["numstep"], cbs)
     state, agg = drv.time_loop(
-        "lubrication", state, lambda _dt: step, dt, dyn["numstep"],
-        divercont="stop", callbacks=list(callbacks or []), timers=timers,
+        "lubrication", state, lambda _dt: step, dt, _nsteps,
+        divercont="stop", callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck, fields={"lubrication": LubricationView(f)},

@@ -102,9 +102,19 @@ def run(deck, callbacks=None) -> drv.RunResult:
         else:
             raise ValueError(f"unknown particle_dynamic.kind {kind!r}")
 
+    cbs = list(callbacks or [])
+    combo = {"p": state, "step": jnp.asarray(0)}
+    combo, _nsteps, cbs = drv.setup_restart(deck, "particles", combo,
+                                            int(dyn["numstep"]), cbs)
+    state, _k = combo["p"], int(combo["step"])
     with timers("step"):
-        for _ in range(int(dyn["numstep"])):
+        for _ in range(_nsteps):
             state = step(state, dt_sub)
+            _k += 1
+            if cbs:
+                for cb in cbs:
+                    cb("particles", {"p": state, "step": jnp.asarray(_k)},
+                       None)
         float(state["x"][0, 0])  # device sync
 
     agg = {"steps": int(dyn["numstep"]),

@@ -121,6 +121,10 @@ def run(deck, callbacks=None) -> drv.RunResult:
             return fw.reshape(-1)
 
     stats = {"newton_iters": 0, "lin_iters": 0, "substeps": 0}
+    cbs = list(callbacks or [])
+    combo = {"s": state_s, "p": pstate, "step": jnp.asarray(0)}
+    combo, n_steps, cbs = drv.setup_restart(deck, "pasi", combo, n_steps, cbs)
+    state_s, pstate = combo["s"], combo["p"]
     with timers("step"):
         for _ in range(n_steps):
             d = state_s["d"].reshape(-1, 3)
@@ -141,6 +145,10 @@ def run(deck, callbacks=None) -> drv.RunResult:
             pstate = dict(pstate, x=px, v=pv, a=pa, t=pstate["t"] + dt)
             # refresh the broad phase for the next step
             wall.cand = wall.build_candidates(np.asarray(wall_x), np.asarray(px))
+            if cbs:
+                combo = {"s": state_s, "p": pstate, "step": state_s["step"]}
+                for cb in cbs:
+                    cb("pasi", combo, stats)
 
     stats["resnorm"] = float(st["resnorm"])
     print(f"[pasi] {n_steps} steps, {stats['newton_iters']} Newton its, "

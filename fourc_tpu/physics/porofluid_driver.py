@@ -198,9 +198,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
         new.update(x=x1, t=t1, step=state["step"] + 1)
         return new, stats
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "porofluid", state, dyn["numstep"], cbs)
     state, agg = drv.time_loop(
-        "porofluid", state, lambda _dt: step, dt, dyn["numstep"],
-        divercont="stop", callbacks=list(callbacks or []), timers=timers,
+        "porofluid", state, lambda _dt: step, dt, _nsteps,
+        divercont="stop", callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck, fields={"porofluid": PorofluidView(f)},

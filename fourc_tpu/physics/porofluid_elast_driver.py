@@ -281,9 +281,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
 
         return step
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "porofluid_elast", state, cfg["numstep"], cbs)
     state, agg = drv.time_loop(
-        "porofluid_elast", state, make_step, dt, cfg["numstep"],
-        divercont="stop", callbacks=list(callbacks or []), timers=timers,
+        "porofluid_elast", state, make_step, dt, _nsteps,
+        divercont="stop", callbacks=cbs, timers=timers,
     )
     view = PorofluidElastView(f)
     fields = {"porofluid_elast": view, "structure": view}

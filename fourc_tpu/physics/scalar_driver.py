@@ -64,6 +64,7 @@ def _run_generic(deck, fieldname: str, section: str, callbacks=None):
     with timers("setup"):
         f = build_field(deck, section, fieldname)
         state = st.compute_initial_state(f, st.init_state(f))
+        state = drv.maybe_shard(deck, f, state)
     dyn = deck.sections[section]
     n_steps = dyn["numstep"]
     if dyn["maxtime"] is not None:

@@ -259,6 +259,11 @@ class SolidField:
 
         self.hoister = Hoister()
         self.hoister.register_attr(self, "coords")
+        # mortar-contact segment buffers: hoisted so the per-step host
+        # re-segmentation (contact/mortar.py refresh) needs no recompile
+        for mc in self.mortar_contact:
+            for nm in ("seg_sf", "seg_xi", "seg_mf", "seg_w"):
+                self.hoister.register_attr(mc, nm)
         # optional external nodal-force slot (PASI particle reactions):
         # hoisted so the driver can refresh it every step without recompile
         self.pasi_force = None
@@ -751,8 +756,10 @@ def init_state(f: SolidField):
     if f.contact is not None and f.contact.stateful:
         state["con"] = f.contact.init_state(z.dtype)
     if getattr(f, "mortar_contact", None):
-        state["lam"] = jnp.zeros((sum(c.S for c in f.mortar_contact),),
-                                 z.dtype)
+        from fourc_tpu.contact.mortar import lam_size
+
+        state["lam"] = jnp.zeros(
+            (sum(lam_size(c) for c in f.mortar_contact),), z.dtype)
     return state
 
 
@@ -826,11 +833,14 @@ def make_step(f: SolidField, dt: float | None = None):
     dt = float(dt if dt is not None else f.params.dt)
     typ = f.params.dyntype
     if getattr(f, "mortar_contact", None):
-        if typ != "statics":
-            raise NotImplementedError("mortar-Lagrange contact: statics only")
         from fourc_tpu.contact import mortar as _mc
 
-        raw = _mc.make_statics_step(f, dt)
+        if typ == "statics":
+            return _mc.make_statics_step(f, dt)  # self-orchestrating
+        if typ == "genalpha":
+            return _mc.make_genalpha_step(f, dt)
+        raise NotImplementedError(
+            "mortar-Lagrange contact supports statics and genalpha")
     elif typ == "statics":
         raw = _make_statics_step(f, dt)
     elif typ == "onesteptheta":

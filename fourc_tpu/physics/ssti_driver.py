@@ -135,9 +135,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
         new.update(d=d, c=c, T=T, t=t1, step=state["step"] + 1)
         return new, stats
 
+    cbs = list(callbacks or [])
+    state, _nsteps, cbs = drv.setup_restart(deck, "ssti", state, cfg["numstep"], cbs)
     state, agg = drv.time_loop(
-        "ssti", state, lambda _dt: step, dt, cfg["numstep"],
-        divercont="stop", callbacks=list(callbacks or []), timers=timers,
+        "ssti", state, lambda _dt: step, dt, _nsteps,
+        divercont="stop", callbacks=cbs, timers=timers,
     )
     return drv.RunResult(
         deck=deck, fields={"ssti": SstiView(sol)},

@@ -184,6 +184,7 @@ def run(deck, callbacks=None) -> drv.RunResult:
             mkstep = lambda dt: pb.make_step(f, dt)  # noqa: E731
         else:
             state = ps.compute_initial_state(f, ps.init_state(f))
+            state = drv.maybe_shard(deck, f, state)
             mkstep = lambda dt: ps.make_step(f, dt)  # noqa: E731
             lag_cons = [c for c in getattr(f, "constraints", [])
                         if getattr(c, "enforcement", "") == "lagrange"]

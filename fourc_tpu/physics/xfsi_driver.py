@@ -61,6 +61,16 @@ def run(deck, callbacks=None) -> drv.RunResult:
     d_w, v_w = 0.0, 0.0
     state = {"t": 0.0, "step": 0}
     agg = {"steps": 0}
+    # restart: the cut-fluid solve is stationary per step — the wall ODE
+    # state (d_w, v_w) IS the full persistent state
+    cbs = list(callbacks or [])
+    import jax.numpy as jnp
+
+    combo = {"d_w": jnp.asarray(0.0), "v_w": jnp.asarray(0.0),
+             "step": jnp.asarray(0), "t": jnp.asarray(0.0)}
+    combo, n_steps, cbs = drv.setup_restart(deck, "xfsi", combo, n_steps, cbs)
+    d_w, v_w = float(combo["d_w"]), float(combo["v_w"])
+    state = {"t": float(combo["t"]), "step": int(combo["step"])}
     with timers("step"):
         for _ in range(n_steps):
             vel, p, cm, F = step_partitioned(
@@ -71,9 +81,12 @@ def run(deck, callbacks=None) -> drv.RunResult:
             state = {"vel": vel, "p": p, "t": state["t"] + dt,
                      "step": state["step"] + 1}
             agg["steps"] += 1
-            if callbacks:
-                for cb in callbacks:
-                    cb("xfsi", state, agg)
+            if cbs:
+                combo = {"d_w": jnp.asarray(d_w), "v_w": jnp.asarray(v_w),
+                         "step": jnp.asarray(state["step"]),
+                         "t": jnp.asarray(state["t"])}
+                for cb in cbs:
+                    cb("xfsi", combo, agg)
     agg.update(wall_disp=d_w, wall_vel=v_w, force_x=float(F[0]),
                force_y=float(F[1]))
     from fourc_tpu.physics.xfluid_driver import XFluidView

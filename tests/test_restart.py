@@ -1,88 +1,111 @@
-"""Checkpoint/restart: identical-trajectory tests.
+"""Restart tail-rerun invariance, per problem type.
 
-Mirror of the reference's RESTART_STEP CI semantics (re-run the tail of a
-simulation from a checkpoint and hit identical results; ref:
-cmake/functions/four_c_testing_functions.cmake:119-151).
+The reference re-runs the tail of every RESTART_STEP deck and requires the
+same RESULT DESCRIPTION values (ref: cmake/functions/
+four_c_testing_functions.cmake:119-151 four_c_test with RESTART_STEP).
+Here: run a deck N steps writing checkpoints, then re-run the SAME deck
+with problem.restart = N/2 and compare the final state pytrees of both
+runs.  Stochastic types (browniandyn) carry their RNG key in the state, so
+the comparison is still deterministic.
 """
 
+import copy
+import glob
+import os
+
+import jax
 import numpy as np
 import pytest
+import yaml
 
 from fourc_tpu.io import deck as dm
 from fourc_tpu.physics import driver
 
+DECK_DIR = os.path.join(os.path.dirname(__file__), "..", "decks")
 
-def _solid_deck(tmp_path, numstep, restart=0, interval=2):
-    return dm.load(
-        f"""
-problem: {{type: structure, restart: {restart}}}
-structural_dynamic:
-  dynamictype: genalpha
-  rho_inf: 0.9
-  kinem: nonlinear
-  timestep: 0.05
-  numstep: {numstep}
-  tolres: 1e-9
-  toldisp: 1e-9
-io: {{restart_interval: {interval}, output_dir: "{tmp_path}"}}
-solver: {{method: cg, precond: block_jacobi}}
-materials:
-  1: {{type: neohooke, youngs: 1000.0, nue: 0.3, density: 1.0}}
-geometry:
-  generator: {{kind: box, nx: 3, ny: 2, nz: 2, cell: hex8, mat: 1}}
-conditions:
-  dirichlet:
-    - {{nodes: xmin, onoff: [1,1,1], val: [0,0,0]}}
-  neumann:
-    - {{faces: xmax, onoff: [0,0,1], val: [0,0,20.0]}}
-"""
-    )
-
-
-def test_restart_identical_trajectory(tmp_path):
-    d = str(tmp_path)
-    res_full = driver.run(_solid_deck(d, 6, interval=2))
-    # re-run the tail of the SAME deck from the step-4 checkpoint
-    # (the reference's RESTART_STEP flow: identical input + restart=N)
-    res_tail = driver.run(_solid_deck(d, 6, restart=4, interval=2))
-
-    for key in ("d", "v", "a"):
-        a = np.asarray(res_full.states["structure"][key])
-        b = np.asarray(res_tail.states["structure"][key])
-        assert np.array_equal(a, b), f"restart trajectory differs in {key}"
-    assert int(res_tail.states["structure"]["step"]) == 6
+# one representative deck per problem type (fast ones preferred);
+# numstep is overridden to keep the double-run cheap
+CASES = [
+    # (deck file, numstep override or None)
+    ("solid_ost_vibration.yaml", 6),
+    ("scatra_gaussian_diffusion.yaml", 6),
+    ("thermo_fin_cooling.yaml", 6),
+    ("fluid_poiseuille_ost.yaml", 6),
+    ("tsi_heated_bar.yaml", 6),
+    ("elch_butler_volmer.yaml", 6),
+    ("poro_terzaghi_column.yaml", 6),
+    ("poro_scatra_column.yaml", 6),
+    ("ssi_swelling_gradient.yaml", 6),
+    ("sti_soret.yaml", 6),
+    ("ssti_expansion.yaml", 6),
+    ("loma_heating.yaml", 6),
+    ("lubrication_step_bearing.yaml", 6),
+    ("levelset_rotation.yaml", 6),
+    ("cardio0d_ejection.yaml", 6),
+    ("cardiac_cable.yaml", 6),
+    ("porofluid_darcy.yaml", 6),
+    ("porofluid_elast_swelling.yaml", 6),
+    ("airways_symmetric_tree.yaml", 6),
+    ("artery_pulse.yaml", 6),
+    ("ehl_slider.yaml", 6),
+    ("ale_patch_motion.yaml", 6),
+    ("fsi_flexible_wall.yaml", 4),
+    ("fpsi_piston.yaml", 4),
+    ("fs3i_membrane.yaml", 4),
+    ("fbi_fiber.yaml", 4),
+    ("immersed_block_channel.yaml", 4),
+    ("pasi_bouncing_ball.yaml", 6),
+    ("dem_settling_spheres.yaml", 6),
+    ("browniandyn_filament.yaml", 6),
+    ("xfsi_spring_wall.yaml", 4),
+]
 
 
-def test_restart_refuses_modified_deck(tmp_path):
-    d = str(tmp_path)
-    driver.run(_solid_deck(d, 2, interval=1))
-    deck2 = _solid_deck(d, 4, restart=2, interval=1)
-    deck2.raw["materials"][1]["youngs"] = 999.0  # tamper -> different hash
-    with pytest.raises(ValueError, match="restart refused"):
-        driver.run(deck2)
+def _numstep_keys(raw):
+    """All (section, key) holding the step count of the main loop."""
+    out = []
+    for sec, body in raw.items():
+        if isinstance(body, dict) and "numstep" in body:
+            out.append(body)
+    return out
 
 
-def test_restart_scatra(tmp_path):
-    d = str(tmp_path)
-    base = f"""
-problem: {{type: scatra}}
-scatra_dynamic: {{dynamictype: onesteptheta, theta: 0.5, timestep: 0.02, numstep: NS, initialfield_funct: 1}}
-io: {{restart_interval: 5, output_dir: "{d}"}}
-solver: {{method: cg, precond: jacobi}}
-materials:
-  1: {{type: scatra, diffusivity: 1.0, reacoeff: 2.0}}
-functions:
-  1: "1"
-geometry:
-  generator: {{kind: box, nx: 2, ny: 2, nz: 2, cell: hex8, mat: 1, name: scatra}}
-conditions: {{}}
-"""
-    res_full = driver.run(dm.load(base.replace("NS", "10")))
-    deck_tail = dm.load(base.replace("NS", "10"))
-    deck_tail.problem["restart"] = 5
-    # same raw deck -> same hash: restart allowed even though problem dict
-    # was modified post-load (matches CLI --restart flow)
-    res_tail = driver.run(deck_tail)
-    a = np.asarray(res_full.states["scatra"]["phi"])
-    b = np.asarray(res_tail.states["scatra"]["phi"])
-    assert np.array_equal(a, b)
+def _final_states(res):
+    return {k: v for k, v in res.states.items()}
+
+
+def _assert_states_equal(a, b, rtol=1e-10, atol=1e-12):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        la, lb = np.asarray(la), np.asarray(lb)
+        if la.dtype.kind in "fc":
+            np.testing.assert_allclose(la, lb, rtol=rtol, atol=atol)
+        else:
+            np.testing.assert_array_equal(la, lb)
+
+
+@pytest.mark.parametrize("name,nstep", CASES,
+                         ids=[c[0].split(".")[0] for c in CASES])
+def test_restart_tail(name, nstep, tmp_path):
+    path = os.path.join(DECK_DIR, name)
+    with open(path) as fh:
+        raw = yaml.safe_load(fh)
+
+    for body in _numstep_keys(raw):
+        body["numstep"] = nstep
+    half = nstep // 2
+    raw.setdefault("io", {})
+    raw["io"]["output_dir"] = str(tmp_path)
+    raw["io"]["restart_interval"] = half
+    # decks with their own anchors would fail at the shortened numstep
+    raw.pop("result_description", None)
+
+    res_full = driver.run(dm.load(copy.deepcopy(raw)))
+
+    raw2 = copy.deepcopy(raw)
+    raw2.setdefault("problem", {})["restart"] = half
+    res_tail = driver.run(dm.load(raw2))
+
+    _assert_states_equal(_final_states(res_full), _final_states(res_tail))
