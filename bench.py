@@ -43,14 +43,21 @@ def main():
     # (~28 ms tunnel RTT) to <3 ms/step of measurement artifact
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
     mesh_kind = os.environ.get("BENCH_MESH", "lattice")  # lattice|unstructured
-    precond = os.environ.get(
-        "BENCH_PRECOND", "gmg" if mesh_kind == "lattice" else "amg")
+    # gmg by default on BOTH mesh kinds: the unstructured bench jitters
+    # coordinates but keeps box topology, and the lattice detection keys
+    # off CONNECTIVITY only (core/mesh.py _detect_conn_lattice) — the
+    # geometric hierarchy uses the true jittered coords per level.  Meshes
+    # with general topology fall back to SA-AMG automatically.
+    precond = os.environ.get("BENCH_PRECOND", "gmg")
     host_newton = os.environ.get("BENCH_HOST_NEWTON", "0") == "1"
     # wide-layout lattice stepping (physics/solid_lattice.py): the whole
     # Newton-Krylov loop stays in the (3, X, Y, Z) kernel layout — no
     # flat<->lattice relayouts in the hot path.  Falls back to the flat
     # step automatically when ineligible (unstructured mesh, etc).
-    wide = os.environ.get("BENCH_WIDE", "1") == "1" and mesh_kind == "lattice"
+    # wide works on BOTH mesh kinds since round 4: uniform lattices use the
+    # collapsed-stencil kernels, general-geometry lattice topologies use the
+    # in-kernel-jacobian kernels (ops/lattice_pallas general variants)
+    wide = os.environ.get("BENCH_WIDE", "1") == "1"
 
     disc = gridgen.box(n, n, n, cell="hex8")
     if mesh_kind == "unstructured":

@@ -68,6 +68,16 @@ class MortarContactCondition:
     master_faces: object  # list[FaceBlock]
     cn: float = 10.0  # complementarity/scaling parameter (x E/h at setup)
     search_factor: float = 4.0  # broad-phase radius in face diameters
+    friction_mu: float = 0.0  # Coulomb coefficient; 0 = frictionless
+    ct: float = 0.0  # tangential complementarity parameter (default: cn)
+    # re-segmentation trigger: re-run the host broad phase + segmentation
+    # when any node moved more than refresh_frac x (min slave-face diameter)
+    # since the last segmentation (0 = frozen, the pre-round-4 behavior)
+    refresh_frac: float = 0.5
+    # multiplier shape functions (ref LM_SHAPEFCN, 4C_inpar_mortar.cpp):
+    # "dual" (biorthogonal, diagonal D — the reference default) or
+    # "standard" (smooth nodal multipliers; D coupled)
+    lm_shape: str = "dual"
 
 
 def segment_quadrature(coords, slave_faces, master_faces, search_factor=4.0):
@@ -153,10 +163,14 @@ class MortarContact:
     def __init__(self, coords, cond: MortarContactCondition, ndpn=3,
                  disc=None):
         assert ndpn == 3, "mortar contact is 3D (quad4 faces)"
+        self.cond = cond
         (sf, sxi, mf, wpar, sconn, mconn) = segment_quadrature(
             coords, cond.slave_faces, cond.master_faces,
             cond.search_factor)
         self.cn = float(cond.cn)
+        self.mu = float(cond.friction_mu)
+        self.ct = float(cond.ct) if cond.ct else float(cond.cn)
+        self.dual = str(getattr(cond, "lm_shape", "dual")) != "standard"
         self.sconn = jnp.asarray(sconn)  # (Fs, 4)
         self.mconn = jnp.asarray(mconn)  # (Fm, 4)
         self.n_sfaces = int(sconn.shape[0])
@@ -166,11 +180,21 @@ class MortarContact:
         lut = np.full(int(coords.shape[0]), -1, np.int64)
         lut[snodes] = np.arange(self.S)
         self.srow = jnp.asarray(lut[sconn].astype(np.int32))  # (Fs, 4)
-        self.seg_sf = jnp.asarray(sf)
-        self.seg_xi = jnp.asarray(sxi)
-        self.seg_mf = jnp.asarray(mf)
-        self.seg_w = jnp.asarray(wpar)
-
+        # fixed-CAPACITY segment arrays (padding has w=0): the host
+        # re-segmentation (`refresh`) refreshes their CONTENTS only, so
+        # jitted step programs — which take them as hoisted runtime
+        # inputs — never recompile (the TPU-native answer to the
+        # reference's per-step binary-tree search,
+        # ref: src/mortar/4C_mortar_binarytree.cpp)
+        self.capacity = int(np.ceil(len(sf) * 1.5))
+        self._pack_segments(sf, sxi, mf, wpar)
+        # refresh trigger state (host-side)
+        Xs = np.asarray(coords)[sconn]
+        diam = 2.0 * np.linalg.norm(
+            Xs - Xs.mean(axis=1, keepdims=True), axis=2).max(axis=1)
+        self.refresh_tol = float(cond.refresh_frac) * float(diam.min()) \
+            if cond.refresh_frac else 0.0
+        self._seg_x = np.asarray(coords).copy()
         # per-slave-face winding sign so normals point OUTWARD from the
         # slave body (gap convention: positive = separated) regardless of
         # the face-set's conn orientation; orientation from the owning
@@ -184,6 +208,66 @@ class MortarContact:
             inward = coords[mconn].mean(axis=(0, 1))[None] - Xs.mean(axis=1)
         sign = np.where((nominal * inward).sum(axis=1) <= 0, 1.0, -1.0)
         self.face_sign = jnp.asarray(sign)
+
+    def _pack_segments(self, sf, sxi, mf, wpar):
+        g = len(sf)
+        if g > self.capacity:  # grow (rare; forces one recompile)
+            self.capacity = int(np.ceil(g * 1.5))
+        cap = self.capacity
+        pad = cap - g
+        self.seg_sf = jnp.asarray(np.concatenate(
+            [sf, np.zeros(pad, np.int32)]))
+        self.seg_xi = jnp.asarray(np.concatenate(
+            [sxi, np.zeros((pad, 2))]))
+        self.seg_mf = jnp.asarray(np.concatenate(
+            [mf, np.zeros(pad, np.int32)]))
+        self.seg_w = jnp.asarray(np.concatenate([wpar, np.zeros(pad)]))
+
+    def refresh(self, x_current):
+        """Host re-segmentation at the CURRENT configuration (per-step
+        broad phase): re-runs slave x master clipping on deformed coords
+        and repacks into the fixed-capacity buffers."""
+        x_current = np.asarray(x_current)
+        (sf, sxi, mf, wpar, _, _) = segment_quadrature(
+            x_current, self.cond.slave_faces, self.cond.master_faces,
+            self.cond.search_factor)
+        self._pack_segments(sf, sxi, mf, wpar)
+        self._seg_x = x_current.copy()
+
+    def maybe_refresh(self, x_current):
+        """Refresh when any node moved > refresh_tol since the last
+        segmentation.  Returns True if a refresh happened."""
+        if not self.refresh_tol:
+            return False
+        x_current = np.asarray(x_current)
+        move = np.abs(x_current - self._seg_x).max()
+        if move <= self.refresh_tol:
+            return False
+        self.refresh(x_current)
+        return True
+
+    def _lm_shapes(self, N_s, wphys, dtype):
+        """Multiplier shapes at the segment Gauss points (G, 4).
+
+        dual: biorthogonal Phi = A N with A = diag(d_e) M_e^-1 integrated
+        with the SAME segment rule (discrete biorthogonality — D diagonal,
+        ref: 4C_mortar_element_shapefct.cpp); standard: Phi = N (smooth
+        nodal multipliers, ref LM_SHAPEFCN standard).
+        """
+        if not self.dual:
+            return N_s
+        Me = jnp.zeros((self.n_sfaces, 4, 4), dtype)
+        Me = Me.at[self.seg_sf].add(
+            wphys[:, None, None] * N_s[:, :, None] * N_s[:, None, :])
+        de = jnp.zeros((self.n_sfaces, 4), dtype)
+        de = de.at[self.seg_sf].add(wphys[:, None] * N_s)
+        eye = jnp.eye(4, dtype=dtype)
+        ok = jnp.abs(jnp.linalg.det(Me)) > 1e-30
+        Me_safe = jnp.where(ok[:, None, None], Me, eye[None])
+        A = jnp.where(
+            ok[:, None, None],
+            de[:, :, None] * jnp.linalg.inv(Me_safe), eye[None])
+        return jnp.einsum("gab,gb->ga", A[self.seg_sf], N_s)
 
     # -- differentiable geometry ------------------------------------------
 
@@ -244,19 +328,7 @@ class MortarContact:
         _, alpha = jax.vmap(self._project)(xg, ng, Xm)
         wphys = self.seg_w * detJ  # (G,)
 
-        # per-slave-face dual coefficients from the SAME rule (disc. biorth.)
-        Me = jnp.zeros((self.n_sfaces, 4, 4), x.dtype)
-        Me = Me.at[self.seg_sf].add(
-            wphys[:, None, None] * N_s[:, :, None] * N_s[:, None, :])
-        de = jnp.zeros((self.n_sfaces, 4), x.dtype)
-        de = de.at[self.seg_sf].add(wphys[:, None] * N_s)
-        eye = jnp.eye(4, dtype=x.dtype)
-        ok = jnp.abs(jnp.linalg.det(Me)) > 1e-30
-        Me_safe = jnp.where(ok[:, None, None], Me, eye[None])
-        A = jnp.where(
-            ok[:, None, None],
-            de[:, :, None] * jnp.linalg.inv(Me_safe), eye[None])
-        Phi = jnp.einsum("gab,gb->ga", A[self.seg_sf], N_s)  # (G, 4)
+        Phi = self._lm_shapes(N_s, wphys, x.dtype)  # (G, 4)
 
         rows = self.srow[self.seg_sf]  # (G, 4)
         gt = jnp.zeros((self.S,), x.dtype)
@@ -272,6 +344,71 @@ class MortarContact:
         (slave +D λ n, master -Mᵀ λ n, plus all geometric terms)."""
         _, pullback = jax.vjp(lambda xx: self.gaps(xx)[0], x)
         return pullback(lam)[0]
+
+    # -- friction (Coulomb, semismooth; ref: src/contact
+    # 4C_contact_friction_node.cpp slip/stick states + the Hüeber-Wohlmuth
+    # NCP formulation the reference's semismooth strategy realizes) -------
+
+    def _tangent_basis(self, n):
+        """Differentiable per-node orthonormal tangent pair (S, 3, 2)."""
+        ex = jnp.zeros_like(n).at[:, 0].set(1.0)
+        ey = jnp.zeros_like(n).at[:, 1].set(1.0)
+        a = jnp.where(jnp.abs(n[:, :1]) < 0.9, ex, ey)
+        t1 = jnp.cross(a, n)
+        t1 = t1 / jnp.maximum(
+            jnp.linalg.norm(t1, axis=1, keepdims=True), 1e-30)
+        t2 = jnp.cross(n, t1)
+        return jnp.stack([t1, t2], axis=2)  # (S, 3, 2)
+
+    def slips(self, x, x_old):
+        """Weighted nodal tangential slip increment (S, 2) in the nodal
+        tangent basis, plus the basis itself (S, 3, 2).
+
+        slip_j = ∫ Φ_j P_t [(x_s - x_s^n) - (X_m(η) - X_m^n(η))] dA with
+        η the CURRENT projection — the incremental mortar slip measure
+        (ref: weighted relative tangential velocity, 4C_contact_integrator
+        gap/slip kernels).  Differentiable in x (x_old is step-frozen).
+        """
+        nrows = self._nodal_normals(x)
+        Xs = x[self.sconn[self.seg_sf]]
+        Xs_o = x_old[self.sconn[self.seg_sf]]
+        N_s = _N_quad4(self.seg_xi)
+        dN_s = _dN_quad4(self.seg_xi)
+        xg = jnp.einsum("ga,gad->gd", N_s, Xs)
+        ng = jnp.einsum("ga,gad->gd", N_s, nrows[self.srow[self.seg_sf]])
+        ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=1, keepdims=True),
+                              1e-30)
+        tg = jnp.einsum("gad,gac->gcd", Xs, dN_s)
+        detJ = jnp.linalg.norm(jnp.cross(tg[:, 0], tg[:, 1]), axis=1)
+        Xm = x[self.mconn[self.seg_mf]]
+        Xm_o = x_old[self.mconn[self.seg_mf]]
+        eta, _ = jax.vmap(self._project)(xg, ng, Xm)
+        N_m = _N_quad4(eta)  # (G, 4)
+        du_s = jnp.einsum("ga,gad->gd", N_s, Xs - Xs_o)
+        du_m = jnp.einsum("ga,gad->gd", N_m, Xm - Xm_o)
+        rel = du_s - du_m  # (G, 3)
+        wphys = self.seg_w * detJ
+        Phi = self._lm_shapes(N_s, wphys, x.dtype)
+        rows = self.srow[self.seg_sf]
+        acc = jnp.zeros((self.S, 3), x.dtype)
+        acc = acc.at[rows.reshape(-1)].add(
+            ((wphys[:, None] * Phi)[..., None] * rel[:, None, :])
+            .reshape(-1, 3))
+        # project to the tangent plane, express in the nodal basis
+        acc_t = acc - nrows * jnp.sum(acc * nrows, axis=1, keepdims=True)
+        tb = self._tangent_basis(nrows)
+        return jnp.einsum("sd,sdk->sk", acc_t, tb), tb
+
+    def force_full(self, x, x_old, lam_n, lam_t):
+        """Consistent contact force from normal AND tangential multipliers:
+        grad_x [ λ_n·g̃(x) + λ_t·slip(x; x_old) ]."""
+
+        def work(xx):
+            gt, _ = self.gaps(xx)
+            s, _ = self.slips(xx, x_old)
+            return jnp.sum(gt * lam_n) + jnp.sum(s * lam_t)
+
+        return jax.grad(work)(x)
 
 
 def _owner_centroids(disc, fconn):
@@ -304,15 +441,28 @@ def attach(field, conditions):
             for c in conditions]
 
 
-def extended_residual(field, residual_u, interfaces, scale=None):
+def lam_size(c):
+    """Multiplier dofs per interface: λ_n (S) + λ_t (2S) when frictional."""
+    return c.S * (3 if c.mu > 0.0 else 1)
+
+
+def extended_residual(field, residual_u, interfaces, x_old=None, scale=None):
     """Semismooth residual over z = [u; λ_0; λ_1; ...].
 
-    r_u = residual_u(u) - Σ f_c(x(u), λ)        (equilibrium with contact)
-    r_λ = where(active, cn·g̃, λ)                (complementarity)
-    active = λ - cn·g̃ > 0                       (semismooth NCP)
+    r_u  = residual_u(u) - Σ f_c(x(u), λ)       (equilibrium with contact)
+    r_λn = where(active, cn·g̃, λ_n)             (normal complementarity)
+    active = λ_n - cn·g̃ > 0                     (semismooth NCP)
+    Frictional interfaces (mu > 0) additionally carry λ_t (S, 2) with the
+    Coulomb projection NCP (Hüeber-Wohlmuth; the reference's slip/stick
+    semismooth update, ref: 4C_contact_lagrange_strategy.cpp:4889 +
+    4C_contact_friction_node.cpp):
+    r_λt = λ_t - proj_{‖·‖ ≤ μ·p⁺}(λ_t + ct·slip),  p = λ_n - cn·g̃.
+    Stick rows reduce to slip = 0; slip rows pin λ_t to the cone surface.
     """
-    sizes = [c.S for c in interfaces]
+    sizes = [lam_size(c) for c in interfaces]
     ndof = field.ndof
+    if x_old is None and any(c.mu > 0 for c in interfaces):
+        raise ValueError("frictional mortar contact needs x_old")
 
     def split(z):
         u = z[:ndof]
@@ -327,16 +477,84 @@ def extended_residual(field, residual_u, interfaces, scale=None):
         xcur = field.coords + u.reshape(-1, field.ndpn)
         r_u = residual_u(u)
         parts = [None]
+        sc = scale if scale is not None else 1.0
         for c, lam in zip(interfaces, lams):
-            r_u = r_u - c.force(xcur, lam).reshape(-1)
-            gt, d = c.gaps(xcur)
-            cn = c.cn * (scale if scale is not None else 1.0)
-            active = (lam - cn * gt) > 0.0
-            parts.append(jnp.where(active, cn * gt, lam))
+            cn = c.cn * sc
+            if c.mu > 0.0:
+                lam_n, lam_t = lam[:c.S], lam[c.S:].reshape(c.S, 2)
+                r_u = r_u - c.force_full(xcur, x_old, lam_n,
+                                         lam_t).reshape(-1)
+                gt, _ = c.gaps(xcur)
+                slip, _ = c.slips(xcur, x_old)
+                ct = c.ct * sc
+                p = lam_n - cn * gt
+                # >= : a touching node with lam = 0, g = 0 starts ACTIVE
+                # (the reference initializes the active set from g <= 0) —
+                # strict > leaves the body's rigid mode unconstrained at
+                # first contact (singular Jacobian, GMRES stalls)
+                r_n = jnp.where(p >= 0.0, cn * gt, lam_n)
+                ttr = lam_t + ct * slip
+                bound = c.mu * jnp.maximum(p, 0.0)
+                # eps-regularized norm: d||t||/dt at t=0 is NaN under AD,
+                # which zeroes the whole Newton direction via jvp (GMRES
+                # sees a NaN operator).  sqrt(t.t + eps^2) has gradient 0
+                # at the origin and is exact to 1e-15 elsewhere.
+                tn = jnp.sqrt(jnp.sum(ttr * ttr, axis=1) + 1e-30)
+                fac = jnp.minimum(1.0, bound / tn)
+                r_t = lam_t - fac[:, None] * ttr
+                parts.append(jnp.concatenate([r_n, r_t.reshape(-1)]))
+            else:
+                r_u = r_u - c.force(xcur, lam).reshape(-1)
+                gt, _ = c.gaps(xcur)
+                active = (lam - cn * gt) >= 0.0
+                parts.append(jnp.where(active, cn * gt, lam))
         parts[0] = r_u
         return jnp.concatenate(parts)
 
     return residual, split
+
+
+def _refresh_hook(f, inner_step):
+    """Wrap a jitted mortar step with the host-side per-step broad phase:
+    before each step, re-segment any interface whose mesh moved beyond its
+    refresh tolerance (fixed-capacity buffers -> no recompile)."""
+    interfaces = f.mortar_contact
+    if not any(c.refresh_tol for c in interfaces):
+        return inner_step
+
+    def step(state):
+        import numpy as _np
+
+        x = _np.asarray(f.coords) + _np.asarray(state["d"]).reshape(
+            -1, f.ndpn)
+        for c in interfaces:
+            c.maybe_refresh(x)
+        return inner_step(state)
+
+    step.self_jitted = True
+    return step
+
+
+
+def _lam_precond(interfaces, coords):
+    """Static diagonal preconditioner for the multiplier rows of the
+    saddle system: r_lamn rows scale like cn * d_j (d_j = the nodal mortar
+    area weight), r_lamt rows like ct * d_j — dividing by those brings the
+    lambda block to displacement scale, which GMRES with an identity
+    lambda-preconditioner badly mis-weights on graded meshes."""
+    import numpy as _np
+
+    scales = []
+    for c in interfaces:
+        _, d = c.gaps(jnp.asarray(coords))
+        d = _np.maximum(_np.asarray(d), 1e-12)
+        sn = 1.0 / (c.cn * d)
+        if c.mu > 0.0:
+            st = _np.repeat(1.0 / (c.ct * d), 2)
+            scales.append(_np.concatenate([sn, st]))
+        else:
+            scales.append(sn)
+    return jnp.asarray(_np.concatenate(scales))
 
 
 def make_statics_step(f, dt):
@@ -353,18 +571,23 @@ def make_statics_step(f, dt):
     from fourc_tpu.physics.newton import newton_solve
 
     interfaces = f.mortar_contact
-    nltot = sum(c.S for c in interfaces)
+    nltot = sum(lam_size(c) for c in interfaces)
     ndof = f.ndof
-    nw = replace(f.params.newton, lin_method="gmres")
+    # line search: damps semismooth active/stick/slip flapping near the
+    # threshold (same safeguard as the dynamic step)
+    nw = replace(f.params.newton, lin_method="gmres", line_search=True)
+    lam_scale = _lam_precond(interfaces, f.disc.coords)
 
     def step(state):
         t1 = state["t"] + dt
+        x_old = f.coords + state["d"].reshape(-1, f.ndpn)
 
         def residual_u(u):
-            fi, _ = f.internal_force(u, dt=dt)
+            fi, _ = f.internal_force(u, dt=dt, u_old=state["d"])
             return fi - f.external_force(t1, u)
 
-        res_z, split = extended_residual(f, residual_u, interfaces)
+        res_z, split = extended_residual(f, residual_u, interfaces,
+                                         x_old=x_old)
         u0 = f.dbc.apply(state["d"], t1)
         z0 = jnp.concatenate([u0, state["lam"]])
         mask_z = jnp.concatenate(
@@ -372,15 +595,92 @@ def make_statics_step(f, dt):
         M_u = f.build_preconditioner(u0, dt=dt)
 
         def M_z(r):
-            return jnp.concatenate([M_u(r[:ndof]), r[ndof:]])
+            return jnp.concatenate([M_u(r[:ndof]),
+                                    lam_scale * r[ndof:]])
 
         z, stats = newton_solve(res_z, z0, mask_z, M_z, nw)
         u, lams = split(z)
-        fint_new, _ = f.internal_force(u, dt=dt)
+        fint_new, _ = f.internal_force(u, dt=dt, u_old=state["d"])
         new_state = dict(state)
         new_state.update(
             d=u, t=t1, step=state["step"] + 1, fint=fint_new,
             fext=f.external_force(t1, u), lam=z[ndof:])
         return new_state, stats
 
-    return step
+    return _refresh_hook(f, f.hoister.jit(step))
+
+
+def make_genalpha_step(f, dt):
+    """Implicit dynamic (gen-alpha) step with mortar-Lagrange contact and
+    optional Coulomb friction: the contact residual and the semismooth
+    active/stick/slip updates run INSIDE the same Newton while_loop as the
+    structural dynamics — the TPU-native counterpart of the reference's
+    semismooth active set inside any implicit scheme
+    (ref: 4C_contact_lagrange_strategy.cpp update_active_set_semi_smooth,
+    driven from the structure_new gen-alpha integrator).  Contact forces
+    enter fully implicitly at t_{n+1} (no α_f midpoint interpolation on
+    the constraint terms — constraints hold at the END point, matching the
+    reference's treatment of contact forces in dynamics).
+    """
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from fourc_tpu.physics.newton import newton_solve
+    from fourc_tpu.physics.solid import _newmark_updates, _predict
+
+    ga = f.params.genalpha
+    am, af, beta, gamma = ga.alpha_m, ga.alpha_f, ga.beta, ga.gamma
+    interfaces = f.mortar_contact
+    nltot = sum(lam_size(c) for c in interfaces)
+    ndof = f.ndof
+    # backtracking line search: the semismooth active set can cycle at
+    # grazing states (release with g ~ 0, lambda ~ 0); the merit-descent
+    # safeguard breaks the cycle (the reference's NOX backtracking plays
+    # the same role)
+    nw = replace(f.params.newton, lin_method="gmres", line_search=True)
+    lam_scale = _lam_precond(interfaces, f.disc.coords)
+
+    def step(state):
+        t1 = state["t"] + dt
+        d_n, v_n, a_n = state["d"], state["v"], state["a"]
+        fint_n = state["fint"]
+        hist = state["hist"] or None
+        x_old = f.coords + d_n.reshape(-1, f.ndpn)
+
+        def residual_u(d_new):
+            v_new, a_new = _newmark_updates(f, dt, d_new, d_n, v_n, a_n,
+                                            beta, gamma)
+            a_mid = (1 - am) * a_new + am * a_n
+            fi, _ = f.internal_force(d_new, history=hist, dt=dt, u_old=d_n)
+            fint_mid = (1 - af) * fi + af * fint_n
+            return f.mass_matvec(a_mid) + fint_mid - (
+                (1 - af) * f.external_force(t1, d_new) + af * state["fext"])
+
+        res_z, split = extended_residual(f, residual_u, interfaces,
+                                         x_old=x_old)
+        u0 = f.dbc.apply(_predict(f.params.predictor, dt, d_n, v_n, a_n), t1)
+        z0 = jnp.concatenate([u0, state["lam"]])
+        mask_z = jnp.concatenate(
+            [f.dbc.free_mask, jnp.ones((nltot,), bool)])
+        M_u = f.build_preconditioner(
+            u0, history=hist, dt=dt,
+            mass_shift=(1 - am) / (beta * dt * dt))
+
+        def M_z(r):
+            return jnp.concatenate([M_u(r[:ndof]),
+                                    lam_scale * r[ndof:]])
+
+        z, stats = newton_solve(res_z, z0, mask_z, M_z, nw)
+        u = z[:ndof]
+        v1, a1 = _newmark_updates(f, dt, u, d_n, v_n, a_n, beta, gamma)
+        fint_new, hist_new = f.internal_force(u, history=hist, dt=dt,
+                                              u_old=d_n)
+        new_state = dict(state)
+        new_state.update(
+            d=u, v=v1, a=a1, t=t1, step=state["step"] + 1,
+            fint=fint_new, fext=f.external_force(t1, u),
+            hist=hist_new or state["hist"], lam=z[ndof:])
+        return new_state, stats
+
+    return _refresh_hook(f, f.hoister.jit(step))

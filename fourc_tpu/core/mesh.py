@@ -161,10 +161,17 @@ def _detect_structured(disc, key, blk):
     (ref: 4C_io_gridgenerator.hpp:35); general meshes fall back to the
     index-based path.
     """
-    ss = getattr(disc, "structured_shape", None)
-    if ss is None or hasattr(disc, "node_perm"):
+    if hasattr(disc, "node_perm"):
         return None
+    ss = getattr(disc, "structured_shape", None)
     conn = np.asarray(blk.conn)
+    if ss is None:
+        # no generator provenance: detect lattice CONNECTIVITY directly
+        # from conn (coords are irrelevant — the slice gather/scatter only
+        # needs the box topology; geometry stays fully general per
+        # element).  Any externally-read mesh that is a box in disguise
+        # gets the gather-free assembly path this way.
+        return _detect_conn_lattice(disc, blk)
     if len(ss) == 4 and blk.cell == "hex8" and ss[3] == 1:
         nx, ny, nz, _ = ss
         if conn.shape != (nx * ny * nz, 8):
@@ -192,6 +199,65 @@ def _detect_structured(disc, key, blk):
         if not np.array_equal(conn, want):
             return None
         return {"shape": (nx, ny), "pshape": (px, py), "offsets": _QUAD4_OFFSETS}
+    return None
+
+
+def _detect_conn_lattice(disc, blk):
+    """Reconstruct a canonical box lattice from hex8/quad4 connectivity
+    alone (no provenance, no coordinate test).
+
+    With lexicographic node ids  id = (i·py + j)·pz + k  the local-node
+    offsets are constant across elements:  pz = conn[:,3]-conn[:,0],
+    py·pz = conn[:,1]-conn[:,0].  Solve for (px,py,pz), then verify conn
+    EXACTLY matches the canonical lattice enumeration.  O(E) numpy, runs
+    once at dofmap build."""
+    conn = np.asarray(blk.conn)
+    if conn.shape[0] < 2:
+        return None
+    off = conn - conn[:, :1]
+    if not (off == off[0]).all():
+        return None
+    if blk.cell == "hex8" and conn.shape[1] == 8:
+        pz = int(off[0, 3])
+        pypz = int(off[0, 1])
+        if pz <= 1 or pypz <= pz or pypz % pz:
+            return None
+        py = pypz // pz
+        n_nodes = int(disc.n_nodes)
+        if n_nodes % pypz or int(conn.max()) + 1 != n_nodes:
+            return None
+        px = n_nodes // pypz
+        nx, ny, nz = px - 1, py - 1, pz - 1
+        if nx < 1 or ny < 1 or nz < 1 or conn.shape[0] != nx * ny * nz:
+            return None
+        ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny),
+                                 np.arange(nz), indexing="ij")
+        want = np.stack(
+            [((ii + di) * py + (jj + dj)) * pz + (kk + dk)
+             for di, dj, dk in _HEX8_OFFSETS], axis=-1).reshape(-1, 8)
+        if not np.array_equal(conn, want):
+            return None
+        return {"shape": (nx, ny, nz), "pshape": (px, py, pz),
+                "offsets": _HEX8_OFFSETS}
+    if blk.cell == "quad4" and conn.shape[1] == 4:
+        py = int(off[0, 1])
+        if py <= 1:
+            return None
+        n_nodes = int(disc.n_nodes)
+        if n_nodes % py or int(conn.max()) + 1 != n_nodes:
+            return None
+        px = n_nodes // py
+        nx, ny = px - 1, py - 1
+        if nx < 1 or ny < 1 or conn.shape[0] != nx * ny:
+            return None
+        ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+        want = np.stack(
+            [(ii + di) * py + (jj + dj) for di, dj in _QUAD4_OFFSETS],
+            axis=-1).reshape(-1, 4)
+        if not np.array_equal(conn, want):
+            return None
+        return {"shape": (nx, ny), "pshape": (px, py),
+                "offsets": _QUAD4_OFFSETS}
     return None
 
 

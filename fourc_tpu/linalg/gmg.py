@@ -74,9 +74,15 @@ class StructuredGMG:
         from fourc_tpu.core import cells as _cells
         from fourc_tpu.ops import solid as sops
 
-        ss = disc.structured_shape
-        dim = len(ss) - 1
-        shape0 = tuple(ss[:dim])
+        ss = getattr(disc, "structured_shape", None)
+        if ss is not None:
+            shape0 = tuple(ss[:len(ss) - 1])
+        else:
+            # lattice detected from connectivity alone (core/mesh.py
+            # _detect_conn_lattice): shape from the dofmap block
+            blk = next(iter(disc.dofmap(ndpn).blocks.values()))
+            shape0 = tuple(blk.structured["shape"])
+        dim = len(shape0)
         pshape0 = tuple(s + 1 for s in shape0)
         lattice_coords = np.asarray(disc.coords).reshape(pshape0 + (dim,))
         mask0 = np.asarray(free_mask).reshape(pshape0 + (ndpn,))
@@ -112,9 +118,17 @@ class StructuredGMG:
         # Chebyshev interval strengthens the smoother at zero per-apply
         # cost.  FOURC_GMG_POWER=0 restores the bound-only setup.
         pit = int(os.environ.get("FOURC_GMG_POWER", "12"))
+
+        def _pit(lv):
+            # general-geometry levels: the power iteration would estimate
+            # lmax of the MEAN-stencil ref operator, not the real one —
+            # use the rigorous Gershgorin bound from the real row sums
+            return 0 if getattr(lv, "_gen_xw", None) is not None else pit
+
         for lv in self.levels:
-            lv.setup_chebyshev(cheby_degree, power_iters=pit)
-        self.levels[-1].setup_chebyshev(max(cheby_degree, 6), power_iters=pit)
+            lv.setup_chebyshev(cheby_degree, power_iters=_pit(lv))
+        self.levels[-1].setup_chebyshev(max(cheby_degree, 6),
+                                        power_iters=_pit(self.levels[-1]))
 
     # -- transfers ----------------------------------------------------------
 
@@ -189,6 +203,12 @@ class StructuredGMG:
         return w * z + (1.0 - w) * r
 
 
+def _lattice_enabled():
+    from fourc_tpu.ops import lattice as _lat
+
+    return _lat.enabled()
+
+
 class _Level:
     """One lattice level: matrix-free linear-elastic operator + Chebyshev."""
 
@@ -243,6 +263,8 @@ class _Level:
         self.uniform = bool(np.allclose(
             rel, rel[:1], rtol=0.0,
             atol=64.0 * eps * max(1.0, np.abs(Xe_np).max())))
+        m = nen * ndpn
+        self._mean_diag = None
         if self.uniform:
             ue0 = jnp.zeros((1, nen, dim), dtype)
             Ke1 = jax.jit(
@@ -251,6 +273,47 @@ class _Level:
                     )[0]
             )(self.Xe[:1])
             self.Ke = Ke1  # (m, m) single stencil
+        elif dim == 3 and _lattice_enabled():
+            # non-uniform geometry, lattice TOPOLOGY (round-4 unstructured
+            # path): the level operator is approximated by the MEAN element
+            # stencil — spectrally equivalent for bounded jacobian
+            # variation (jittered/mildly graded boxes), which is all a
+            # preconditioner needs.  Streaming chunked build: never
+            # materializes the (m, m, E) per-element store (859 MB at 1M
+            # dofs), only the mean + the exact Jacobi diagonal/rowsums.
+            CH = 1 << 16
+            ue0 = jnp.zeros((CH, nen, dim), dtype)
+
+            # reductions computed ON DEVICE; only (m, m) + 2 x (CH, m)
+            # cross the wire per chunk (fetching full (CH, m, m) element
+            # matrices through the remote-TPU tunnel measured ~GBs/chunk)
+            @jax.jit
+            def kstats(xe, wreal):
+                K = sops.element_stiffness(xe, ue0, cell, self.mat,
+                                           kinem="linear")
+                return ((K * wreal[:, None, None]).sum(axis=0),
+                        jnp.einsum("eii->ei", K),
+                        jnp.abs(K).sum(axis=2))
+
+            Xe_np = np.asarray(self.Xe)
+            ke_sum = np.zeros((m, m))
+            dKe_np = np.empty((Ecount, m), np.float64)
+            rKe_np = np.empty((Ecount, m), np.float64)
+            for c0 in range(0, Ecount, CH):
+                c1 = min(c0 + CH, Ecount)
+                chunk = Xe_np[c0:c1]
+                if c1 - c0 < CH:  # pad to the jitted shape
+                    chunk = np.concatenate(
+                        [chunk, np.repeat(chunk[-1:], CH - (c1 - c0), 0)])
+                wreal = np.zeros(CH, np.float32)
+                wreal[: c1 - c0] = 1.0
+                ks, dk, rk = kstats(jnp.asarray(chunk, dtype),
+                                    jnp.asarray(wreal, dtype))
+                ke_sum += np.asarray(ks, np.float64)
+                dKe_np[c0:c1] = np.asarray(dk, np.float64)[: c1 - c0]
+                rKe_np[c0:c1] = np.asarray(rk, np.float64)[: c1 - c0]
+            self.Ke = jnp.asarray(ke_sum / Ecount, dtype)  # mean stencil
+            self._mean_diag = (dKe_np, rKe_np)
         else:
             ue0 = jnp.zeros((Ecount, nen, dim), dtype)
             Ke = jax.jit(
@@ -267,7 +330,8 @@ class _Level:
         self._lattice_spec = None
         from fourc_tpu.ops import lattice as _lat
 
-        if self.uniform and dim == 3 and _lat.enabled():
+        if ((self.uniform or self._mean_diag is not None)
+                and dim == 3 and _lat.enabled()):
             from fourc_tpu.ops.lattice import LatticeSpec, collapse_stencil
 
             self._lattice_spec = LatticeSpec(pshape=tuple(self.pshape),
@@ -284,7 +348,12 @@ class _Level:
             self.mlump = None
 
         # exact Jacobi diagonal from the assembled element matrices
-        if self.uniform:
+        if self._mean_diag is not None:
+            dKe_np, rKe_np = self._mean_diag
+            diag = self._scatter(jnp.asarray(dKe_np, dtype))
+            rowabs = self._scatter(jnp.asarray(rKe_np, dtype))
+            self._mean_diag = True  # free the host copies
+        elif self.uniform:
             dKe = jnp.broadcast_to(jnp.diagonal(self.Ke)[None, :], (Ecount, m))
             rKe = jnp.broadcast_to(jnp.sum(jnp.abs(self.Ke), axis=1)[None, :],
                                    (Ecount, m))
@@ -310,6 +379,21 @@ class _Level:
             self.dinv_wide = lp.prep(self.dinv, self._lattice_spec)
             self.mlump_wide = (None if self.mlump is None
                                else lp.prep(self.mlump, self._lattice_spec))
+
+        # general-geometry level operator (round 4): on non-uniform lattice
+        # topology the EXACT linear-elastic operator is one fused kernel —
+        # the tangent of the SVK force at u = 0 with real per-element
+        # jacobians (ops/lattice_pallas._jvp_wide_gen).  The mean stencil
+        # (self.Ke) costs ~3.5x the Krylov iterations (measured n=48
+        # jittered: 47-179 vs 26-52 with exact geometry).
+        self._gen_xw = None
+        if self._lattice_spec is not None and self._mean_diag is not None:
+            from fourc_tpu.ops import lattice_pallas as lp
+
+            x3 = jnp.transpose(
+                jnp.asarray(lattice_coords, jnp.float32), (3, 0, 1, 2))
+            self._gen_xw = lp.widen_real(x3, self._lattice_spec)
+            self._gen_lam, self._gen_mu = float(lam), float(mu)
 
     def _gather(self, u):
         u3 = u.reshape(self.pshape + (self.ndpn,))
@@ -338,6 +422,17 @@ class _Level:
         composition fragility family, NOTES_ROUND2.md)."""
         w = self.w.astype(v.dtype)
         vm = w * v
+        if (getattr(self, "_gen_xw", None) is not None and not ref):
+            from fourc_tpu.ops import lattice_pallas as lp
+
+            vw = lp.prep(vm, self._lattice_spec)
+            ow = lp._jvp_wide_gen(self._gen_xw, jnp.zeros_like(vw), vw,
+                                  self._lattice_spec, self._gen_lam,
+                                  self._gen_mu, "svk")
+            out = lp.unprep(ow, self._lattice_spec, dtype=v.dtype)
+            if self.mlump is not None:
+                out = out + self.mass_coeff * self.mlump * vm
+            return w * out + (1.0 - w) * v
         if self._lattice_spec is not None:
             from fourc_tpu.ops import lattice as _lat
 
@@ -361,6 +456,15 @@ class _Level:
 
         w = self.w_wide
         vm = w * vw
+        if self._gen_xw is not None:  # exact geometry (general kernel)
+            from fourc_tpu.ops import lattice_pallas as lp
+
+            out = lp._jvp_wide_gen(self._gen_xw, jnp.zeros_like(vm), vm,
+                                   self._lattice_spec, self._gen_lam,
+                                   self._gen_mu, "svk")
+            if self.mlump_wide is not None:
+                out = out + self.mass_coeff * self.mlump_wide * vm
+            return w * out + (1.0 - w) * vw
         out = _lat.stencil_matvec_wide(self._Kstencil, vm,
                                        self._lattice_spec)
         if self.mlump_wide is not None:
@@ -484,8 +588,7 @@ def build_for_solid(field, mass_shift=0.0, dtype=None, max_levels=None):
     mesh; returns None when the mesh is unstructured (caller falls back)."""
     disc = field.disc
     blocks = list(field.dofmap.blocks.values())
-    if (getattr(disc, "structured_shape", None) is None or len(blocks) != 1
-            or blocks[0].structured is None
+    if (len(blocks) != 1 or blocks[0].structured is None
             or not hasattr(field, "block_mat")):
         return None
     mat = next(iter(field.block_mat.values()))

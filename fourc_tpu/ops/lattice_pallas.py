@@ -234,6 +234,271 @@ def _jvp_kernel(spec, G, wdet, lam, mu, model, wyz_ref, um, uc, up,
 
 
 # ---------------------------------------------------------------------------
+# general-geometry kernels (per-element jacobians computed IN-KERNEL from a
+# coordinate lattice input — the relayout-free wide path for lattice-
+# TOPOLOGY meshes with arbitrary node positions, e.g. jittered/graded boxes
+# read from external files.  Same slab/window structure as the uniform
+# kernels; the coordinate lattice X rides the exact same BlockSpecs as u.)
+# ---------------------------------------------------------------------------
+
+
+def _corner_slices(W, s, y0, ty, nz):
+    """[a][c] (BX, ty, nz) blocks: the 8 corner values of element layer s
+    restricted to the y-chunk [y0, y0+ty)."""
+    return [[W[c,
+               s + HEX8_OFFSETS[a][0]:s + HEX8_OFFSETS[a][0] + BX,
+               y0 + HEX8_OFFSETS[a][1]:y0 + HEX8_OFFSETS[a][1] + ty,
+               HEX8_OFFSETS[a][2]:HEX8_OFFSETS[a][2] + nz]
+             for c in range(3)] for a in range(8)]
+
+
+def _geom_gp(Xe, dn_g, w_g, m3):
+    """Per-Gauss-point geometry on blocks (masked, ghost-safe).
+
+    Returns (G[a][i] cartesian shape grads, wdet).  Ghost elements (m3=0)
+    get det_safe = 1 so the inverse never divides by the zero jacobian of
+    the zero-padded coordinates; their wdet is exactly 0.
+    Index conventions mirror ops/solid_pallas._geometry.
+    """
+    J = [[sum(Xe[a][i] * dn_g[a][j] for a in range(8)) for j in range(3)]
+         for i in range(3)]
+    from fourc_tpu.ops.solid_pallas import _cof, _det
+
+    detJ = _det(J)
+    det_safe = detJ * m3 + (1.0 - m3)
+    cof = _cof(J)
+    inv_det = 1.0 / det_safe
+    Jinv = [[cof[j][i] * inv_det for j in range(3)] for i in range(3)]
+    G = [[sum(dn_g[a][j] * Jinv[j][i] for j in range(3)) for i in range(3)]
+         for a in range(8)]
+    return G, detJ * w_g * m3
+
+
+def _grad_blocks(ue, G, m3):
+    """H[i][j] = sum_a ue[a][i] G[a][j], masked (ghost G is garbage-free
+    but boundary-ghost Xe mixes real/zero corners — masking H keeps the
+    downstream log/inv chains at the well-defined A = 0 point)."""
+    return [[sum(ue[a][i] * G[a][j] for a in range(8)) * m3
+             for j in range(3)] for i in range(3)]
+
+
+def _force_kernel_gen(spec, dn, w, Nf, lam, mu, model, mcoef, stiff,
+                      wyz_ref, xm, xc, xp, um, uc, up, out_ref, Wx, Wu):
+    """General-geometry internal force (stiff=True) and/or consistent-mass
+    apply (mcoef != 0): one fused pass in wide layout."""
+    ny, nz = spec.pshape[1] + 1, spec.pshape[2] + 1
+    i = pl.program_id(0)
+    _build_window(xm, xc, xp, Wx)
+    _build_window(um, uc, up, Wu)
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    stress = _STRESS[model][0]
+    for y0 in range(0, ny, TY):
+        ty = min(TY, ny - y0)
+        z = jnp.zeros((BX, ty, nz), jnp.float32)
+        acc = [z] * 12
+        for layer in (0, 1):
+            m3 = _masks_chunk(i, layer, spec, wyz_ref, y0, ty, nz)
+            Xe = _corner_slices(Wx, layer, y0, ty, nz)
+            ue = _corner_slices(Wu, layer, y0, ty, nz)
+            for g in range(8):
+                G, wdet = _geom_gp(Xe, dn[g], w[g], m3)
+                if stiff:
+                    H = _grad_blocks(ue, G, m3)
+                    A = _strain_A(H)
+                    S, _aux = stress(A, lam, mu)
+                    eye = [[1.0 if a == b else 0.0 for b in range(3)]
+                           for a in range(3)]
+                    F = [[H[a][b] + eye[a][b] for b in range(3)]
+                         for a in range(3)]
+                    P = _mm(F, S)
+                    for a in _A_OF_LAYER[layer]:
+                        base = _acc_idx(a)
+                        for ci in range(3):
+                            row = sum(P[ci][j] * G[a][j] for j in range(3))
+                            acc[base + ci] = acc[base + ci] + wdet * row
+                if mcoef != 0.0:
+                    vbar = [sum(Nf[g][b] * ue[b][ci] for b in range(8)) * m3
+                            for ci in range(3)]
+                    cg = mcoef * wdet
+                    for a in _A_OF_LAYER[layer]:
+                        base = _acc_idx(a)
+                        for ci in range(3):
+                            acc[base + ci] = acc[base + ci] + (
+                                cg * Nf[g][a]) * vbar[ci]
+        _write_chunk(acc, out_ref, y0, ty, nz)
+
+
+def _jvp_kernel_gen(spec, dn, w, Nf, lam, mu, model, mcoef,
+                    wyz_ref, xm, xc, xp, um, uc, up, vm, vc, vp,
+                    out_ref, Wx, Wu, Wv):
+    """General-geometry tangent apply K(u) v (+ mcoef * M v fused)."""
+    ny, nz = spec.pshape[1] + 1, spec.pshape[2] + 1
+    i = pl.program_id(0)
+    _build_window(xm, xc, xp, Wx)
+    _build_window(um, uc, up, Wu)
+    _build_window(vm, vc, vp, Wv)
+    out_ref[:] = jnp.zeros(out_ref.shape, out_ref.dtype)
+    stress, stress_dual = _STRESS[model]
+    for y0 in range(0, ny, TY):
+        ty = min(TY, ny - y0)
+        z = jnp.zeros((BX, ty, nz), jnp.float32)
+        acc = [z] * 12
+        for layer in (0, 1):
+            m3 = _masks_chunk(i, layer, spec, wyz_ref, y0, ty, nz)
+            Xe = _corner_slices(Wx, layer, y0, ty, nz)
+            ue = _corner_slices(Wu, layer, y0, ty, nz)
+            ve = _corner_slices(Wv, layer, y0, ty, nz)
+            for g in range(8):
+                G, wdet = _geom_gp(Xe, dn[g], w[g], m3)
+                H = _grad_blocks(ue, G, m3)
+                Hd = _grad_blocks(ve, G, m3)
+                A = _strain_A(H)
+                Ad = [[Hd[a][b] + Hd[b][a]
+                       + sum(Hd[k][a] * H[k][b] + H[k][a] * Hd[k][b]
+                             for k in range(3))
+                       for b in range(3)] for a in range(3)]
+                S, aux = stress(A, lam, mu)
+                Sd = stress_dual(A, Ad, aux, lam, mu)
+                eye = [[1.0 if a == b else 0.0 for b in range(3)]
+                       for a in range(3)]
+                F = [[H[a][b] + eye[a][b] for b in range(3)]
+                     for a in range(3)]
+                P1 = _mm(Hd, S)
+                P2 = _mm(F, Sd)
+                Pd = [[P1[a][b] + P2[a][b] for b in range(3)]
+                      for a in range(3)]
+                for a in _A_OF_LAYER[layer]:
+                    base = _acc_idx(a)
+                    for ci in range(3):
+                        row = sum(Pd[ci][j] * G[a][j] for j in range(3))
+                        acc[base + ci] = acc[base + ci] + wdet * row
+                if mcoef != 0.0:
+                    vbar = [sum(Nf[g][b] * ve[b][ci] for b in range(8)) * m3
+                            for ci in range(3)]
+                    cg = mcoef * wdet
+                    for a in _A_OF_LAYER[layer]:
+                        base = _acc_idx(a)
+                        for ci in range(3):
+                            acc[base + ci] = acc[base + ci] + (
+                                cg * Nf[g][a]) * vbar[ci]
+        _write_chunk(acc, out_ref, y0, ty, nz)
+
+
+def _hex8_dn_tables():
+    """dN-hat (8 gp, 8 a, 3) + weights as nested float tuples (kernel
+    literals) and the N table for the consistent mass."""
+    from fourc_tpu.core import cells
+
+    cell = cells.get_cell("hex8")
+    dn = tuple(tuple(tuple(float(x) for x in a) for a in g)
+               for g in np.asarray(cell.dN))
+    w = tuple(float(x) for x in np.asarray(cell.gauss_weights))
+    Nf = tuple(tuple(float(x) for x in row) for row in np.asarray(cell.N))
+    return dn, w, Nf
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "lam", "mu", "model", "mcoef", "stiff", "interpret"))
+def _force_wide_gen(xw, uw, spec, lam, mu, model, mcoef=0.0, stiff=True,
+                    interpret=False):
+    in_specs, out_spec, out_shape, window, nb = _specs(spec, 2)
+    Y, Z = spec.pshape[1] + 2, spec.pshape[2] + 2
+    dn, w, Nf = _hex8_dn_tables()
+    kern = functools.partial(_force_kernel_gen, spec, dn, w, Nf, lam, mu,
+                             model, mcoef, stiff)
+    xw, uw = xw.astype(jnp.float32), uw.astype(jnp.float32)
+    out = pl.pallas_call(
+        kern, grid=(nb,), in_specs=in_specs, out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[window,
+                        pltpu.VMEM((3, BX + 2, Y, Z), jnp.float32)],
+        compiler_params=_CPARAMS, interpret=interpret,
+    )(_wyz(spec), xw, xw, xw, uw, uw, uw)
+    return _rewiden(out)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "spec", "lam", "mu", "model", "mcoef", "interpret"))
+def _jvp_wide_gen(xw, uw, vw, spec, lam, mu, model, mcoef=0.0,
+                  interpret=False):
+    in_specs, out_spec, out_shape, window, nb = _specs(spec, 3)
+    Y, Z = spec.pshape[1] + 2, spec.pshape[2] + 2
+    dn, w, Nf = _hex8_dn_tables()
+    kern = functools.partial(_jvp_kernel_gen, spec, dn, w, Nf, lam, mu,
+                             model, mcoef)
+    xw = xw.astype(jnp.float32)
+    uw, vw = uw.astype(jnp.float32), vw.astype(jnp.float32)
+    out = pl.pallas_call(
+        kern, grid=(nb,), in_specs=in_specs, out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[window,
+                        pltpu.VMEM((3, BX + 2, Y, Z), jnp.float32),
+                        pltpu.VMEM((3, BX + 2, Y, Z), jnp.float32)],
+        compiler_params=_CPARAMS, interpret=interpret,
+    )(_wyz(spec), xw, xw, xw, uw, uw, uw, vw, vw, vw)
+    return _rewiden(out)
+
+
+def _gen_interpret(interpret):
+    import os
+
+    return interpret or os.environ.get("FOURC_PALLAS_INTERPRET", "0") == "1"
+
+
+def make_force_wide_general(spec: LatticeSpec, coords, lam, mu, model,
+                            interpret=False):
+    """Wide-layout internal force for a lattice-TOPOLOGY mesh with
+    arbitrary node coordinates: per-element jacobians are computed in-
+    kernel from the coordinate lattice (no (E, nen, 3) gathers, no
+    relayouts).  coords: (n_nodes, 3) real node positions."""
+    interpret = _gen_interpret(interpret)
+    px, py, pz = spec.pshape
+    x3 = jnp.transpose(jnp.asarray(coords, jnp.float32).reshape(
+        px, py, pz, 3), (3, 0, 1, 2))
+    xw = widen_real(x3, spec)
+
+    @jax.custom_jvp
+    def force(uw):
+        return _force_wide_gen(xw, uw, spec, lam, mu, model,
+                               interpret=interpret)
+
+    @force.defjvp
+    def force_jvp(primals, tangents):
+        (uw,), (vw,) = primals, tangents
+        y = _force_wide_gen(xw, uw, spec, lam, mu, model,
+                            interpret=interpret)
+        dy = _jvp_wide_gen(xw, uw, vw, spec, lam, mu, model,
+                           interpret=interpret)
+        return y, dy
+
+    return force
+
+
+def make_mass_wide_general(spec: LatticeSpec, coords, rho,
+                           interpret=False):
+    """Wide-layout consistent-mass apply M v for arbitrary-geometry
+    lattices: v_w -> rho * sum_g wdet_g N N^T v (geometry in-kernel)."""
+    interpret = _gen_interpret(interpret)
+    px, py, pz = spec.pshape
+    x3 = jnp.transpose(jnp.asarray(coords, jnp.float32).reshape(
+        px, py, pz, 3), (3, 0, 1, 2))
+    xw = widen_real(x3, spec)
+    rho = float(rho)
+
+    @jax.custom_jvp
+    def mass(vw):
+        return _force_wide_gen(xw, vw, spec, 0.0, 0.0, "svk",
+                               mcoef=rho, stiff=False, interpret=interpret)
+
+    @mass.defjvp
+    def mass_jvp(primals, tangents):  # linear: dM(v)[t] = M t
+        (vw,), (tw,) = primals, tangents
+        return mass(vw), mass(tw)
+
+    return mass
+
+
+# ---------------------------------------------------------------------------
 # wrappers
 # ---------------------------------------------------------------------------
 

@@ -252,6 +252,27 @@ class SolidField:
                             # hoister swaps it for tracers inside jit)
                             self._mass_stencil()
 
+        # general-geometry lattice (round 4): box TOPOLOGY with arbitrary
+        # node positions (jittered/graded/externally-read) — the wide
+        # relayout-free Newton path with per-element jacobians computed
+        # in-kernel (ops/lattice_pallas general kernels)
+        self.lattice_geom = None
+        if (self.lattice is None and len(self.block_mat) == 1
+                and self.ndpn == 3 and params.kinem == "nonlinear"
+                and params.tech == "none"):
+            from fourc_tpu.ops import lattice as _lat
+
+            mat0 = next(iter(self.block_mat.values()))
+            ba = next(iter(self.dofmap.blocks.values()))
+            if (_lat.enabled() and ba.cell == "hex8"
+                    and ba.structured is not None
+                    and len(ba.structured["shape"]) == 3
+                    and not getattr(mat0, "history_shape", ())
+                    and _lat._material_model(mat0) is not None):
+                self.lattice_geom = _lat.LatticeSpec(
+                    pshape=tuple(ba.structured["pshape"]),
+                    h=(1.0, 1.0, 1.0))
+
         # argument hoisting: register every big device buffer so jitted
         # steps take them as runtime parameters instead of HLO literals
         # (see utils/hoist.py — 2 GB lowered modules otherwise at 1M dofs)

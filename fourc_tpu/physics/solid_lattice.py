@@ -30,7 +30,8 @@ def eligible(f) -> bool:
     """Whether the wide step can replace the flat gen-alpha step: pure
     single-block lattice hyperelasticity with consistent mass and no
     displacement-dependent external loads or extra residual terms."""
-    if f.lattice is None or f.params.dyntype != "genalpha":
+    spec = f.lattice or getattr(f, "lattice_geom", None)
+    if spec is None or f.params.dyntype != "genalpha":
         return False
     if f.params.rayleigh_alpha or f.params.rayleigh_beta:
         return False
@@ -50,6 +51,10 @@ def eligible(f) -> bool:
     return _lat._material_model(mat) is not None
 
 
+def _spec(f):
+    return f.lattice or f.lattice_geom
+
+
 _WIDE_FIELDS = ("d", "v", "a", "fint", "fext")
 
 
@@ -59,7 +64,7 @@ def widen_state(f, state):
 
     new = dict(state)
     for k in _WIDE_FIELDS:
-        new[k] = lp.prep(state[k], f.lattice)
+        new[k] = lp.prep(state[k], _spec(f))
     return new
 
 
@@ -71,7 +76,7 @@ def flatten_state(f, state):
         return dict(state)
     new = dict(state)
     for k in _WIDE_FIELDS:
-        new[k] = lp.unprep(state[k], f.lattice)
+        new[k] = lp.unprep(state[k], _spec(f))
     return new
 
 
@@ -84,16 +89,28 @@ def make_wide_genalpha_step(f, dt: float, M_gmg):
     from fourc_tpu.ops import lattice_pallas as lp
     from fourc_tpu.physics.solid import _newmark_updates
 
-    spec = f.lattice
+    spec = _spec(f)
     mat = next(iter(f.block_mat.values()))
     cell = f._cell(next(iter(f.block_mat)))
-    force_w = _lat.make_force_wide(spec, cell, mat)
-    if force_w is None:
-        return None
-    Mst = f._mass_stencil()
+    if f.lattice is not None:  # uniform geometry: collapsed stencils
+        force_w = _lat.make_force_wide(spec, cell, mat)
+        if force_w is None:
+            return None
+        Mst = f._mass_stencil()
 
-    def mass_op(vw):
-        return _lat.stencil_matvec_wide(Mst, vw, spec)
+        def mass_op(vw):
+            return _lat.stencil_matvec_wide(Mst, vw, spec)
+    else:  # general geometry on lattice topology (round-4 kernels)
+        from fourc_tpu.materials.elastic import lame
+
+        model = _lat._material_model(mat)
+        if model is None:
+            return None
+        lam_, mu_ = (float(x) for x in lame(mat.youngs, mat.nue))
+        force_w = lp.make_force_wide_general(spec, f.disc.coords, lam_,
+                                             mu_, model)
+        mass_op = lp.make_mass_wide_general(spec, f.disc.coords,
+                                            float(mat.density))
     ga = f.params.genalpha
     am, af, beta, gamma = ga.alpha_m, ga.alpha_f, ga.beta, ga.gamma
     # hoisted runtime input (kept out of the compiled program's literals —

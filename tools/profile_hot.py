@@ -153,6 +153,44 @@ def main():
         uw = lp.prep(u, spec)
         g = jax.jit(lambda x: jax.jvp(force_w, (uw,), (x,))[1])
         t = timeit(g, lp.prep(v, spec), reps, fetch)
+    elif piece in ("gforce", "gjvp", "gvcycle", "gmass", "gext", "gscat"):
+        # GENERAL-path pieces (hoisted like the real step): element force
+        # via dofmap gather/scatter, its jvp, and the flat GMG V-cycle
+        if piece == "gvcycle":
+            from fourc_tpu.linalg import gmg
+
+            M = gmg.build_for_solid(f, mass_shift=mass_shift)
+            for lv in M.levels:
+                for nm in ("Xe", "Ke", "dinv", "mlump", "w"):
+                    if getattr(lv, nm, None) is not None:
+                        f.hoister.register_attr(lv, nm)
+            g = f.hoister.jit(M)
+            t = timeit(g, v, reps, fetch)
+        elif piece == "gforce":
+            g = f.hoister.jit(lambda x: f.internal_force(x)[0])
+            t = timeit(g, u, reps, fetch)
+        elif piece == "gjvp":
+            def mv(x):
+                return jax.jvp(lambda y: f.internal_force(y)[0], (u,), (x,))[1]
+
+            g = f.hoister.jit(mv)
+            t = timeit(g, v, reps, fetch)
+        elif piece == "gmass":
+            g = f.hoister.jit(lambda x: f.mass_matvec(x))
+            t = timeit(g, v, reps, fetch)
+        elif piece == "gscat":
+            dm = f.dofmap
+            key0 = next(iter(dm.blocks))
+
+            def gs(x):
+                ue = dm.gather(x, key0)
+                return dm.scatter_add({key0: ue.reshape(ue.shape[0], -1)})
+
+            g = f.hoister.jit(gs)
+            t = timeit(g, v, reps, fetch)
+        else:
+            g = f.hoister.jit(lambda x: f.external_force(0.013, x))
+            t = timeit(g, v, reps, fetch)
     elif piece in ("amg_vcycle", "amg_spmv"):
         M = f._build_amg(mass_shift=mass_shift)
         if piece == "amg_vcycle":
