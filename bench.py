@@ -60,7 +60,7 @@ def main():
     wide = os.environ.get("BENCH_WIDE", "1") == "1"
 
     disc = gridgen.box(n, n, n, cell="hex8")
-    if mesh_kind == "unstructured":
+    if mesh_kind in ("unstructured", "permuted"):
         # jitter interior nodes (deterministic): kills the structured-
         # lattice provenance, so the step runs the general gather/scatter
         # element kernels with the SA-AMG preconditioner — the second
@@ -72,6 +72,24 @@ def main():
         X[interior] += (rng.rand(int(interior.sum()), 3) - 0.5) * (0.35 * h)
         disc.coords = X
         disc.structured_shape = None
+    if mesh_kind == "permuted":
+        # genuinely general TOPOLOGY: randomly renumber the nodes so no
+        # lattice structure survives in the connectivity (the flat
+        # gather/scatter + SA-AMG path, as any externally-read tet/hex
+        # mesh would run). The framework is expected to recover locality
+        # itself (node reordering at dofmap build).
+        rng = np.random.RandomState(1)
+        perm = rng.permutation(disc.n_nodes).astype(np.int32)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(disc.n_nodes, dtype=np.int32)
+        disc.coords = np.array(disc.coords)[perm]
+        for key, blk in disc.blocks.items():
+            blk.conn = inv[blk.conn]
+        for nm in disc.node_sets:
+            disc.node_sets[nm] = inv[disc.node_sets[nm]]
+        for nm, fbs in disc.face_sets.items():
+            for fb in fbs:
+                fb.conn = inv[fb.conn]
     ndof = disc.n_nodes * 3
 
     mat = make_material({"type": "neohooke", "youngs": 1.0e4, "nue": 0.3, "density": 1.0})

@@ -401,12 +401,25 @@ class MortarContact:
 
     def force_full(self, x, x_old, lam_n, lam_t):
         """Consistent contact force from normal AND tangential multipliers:
-        grad_x [ λ_n·g̃(x) + λ_t·slip(x; x_old) ]."""
+        grad_x [ λ_n·g̃(x) − λ_t·slip(x; x_old) ].
+
+        SIGN CONVENTION (load-bearing): λ_t is the tangential traction the
+        slave exerts ON the master, so in sliding λ_t is PARALLEL to the
+        slip increment and the traction felt by the slave is −λ_t
+        (opposing its motion).  This is the convention under which the
+        Coulomb projection NCP  λ_t = P_{μp}(λ_t + ct·slip)  has a UNIQUE
+        fixed point (Hüeber-Stadler-Wohlmuth; the reference's semismooth
+        friction realizes the same pairing,
+        ref: 4C_contact_lagrange_strategy.cpp:4889).  With the opposite
+        pairing (+λ_t·slip) the NCP admits BOTH ±μp·ŝ whenever
+        ct·|slip| < μp and the semismooth Newton limit-cycles between
+        them (measured: residual oscillating 0.03 ↔ 0.9 in the gross-slip
+        regime)."""
 
         def work(xx):
             gt, _ = self.gaps(xx)
             s, _ = self.slips(xx, x_old)
-            return jnp.sum(gt * lam_n) + jnp.sum(s * lam_t)
+            return jnp.sum(gt * lam_n) - jnp.sum(s * lam_t)
 
         return jax.grad(work)(x)
 
@@ -492,7 +505,8 @@ def extended_residual(field, residual_u, interfaces, x_old=None, scale=None):
                 # (the reference initializes the active set from g <= 0) —
                 # strict > leaves the body's rigid mode unconstrained at
                 # first contact (singular Jacobian, GMRES stalls)
-                r_n = jnp.where(p >= 0.0, cn * gt, lam_n)
+                active = p >= 0.0
+                r_n = jnp.where(active, cn * gt, lam_n)
                 ttr = lam_t + ct * slip
                 bound = c.mu * jnp.maximum(p, 0.0)
                 # eps-regularized norm: d||t||/dt at t=0 is NaN under AD,
@@ -500,8 +514,21 @@ def extended_residual(field, residual_u, interfaces, x_old=None, scale=None):
                 # sees a NaN operator).  sqrt(t.t + eps^2) has gradient 0
                 # at the origin and is exact to 1e-15 elsewhere.
                 tn = jnp.sqrt(jnp.sum(ttr * ttr, axis=1) + 1e-30)
-                fac = jnp.minimum(1.0, bound / tn)
-                r_t = lam_t - fac[:, None] * ttr
+                # stick-start: the reference initializes frictional nodes
+                # in STICK state (ref: 4C_contact_friction_node.cpp).
+                # Without the absolute floor eps_t, a just-activated node
+                # (p ~ 0, lam_t ~ 0, slip ~ 0) lands in the slip branch
+                # with bound = 0, pinning lam_t = 0 — the first Newton
+                # system then has an unconstrained tangential rigid mode
+                # (frictionless statics under shear is singular) and the
+                # semismooth set updates cycle from the garbage direction.
+                # eps_t only matters when bound ~ tn ~ 0; true slip states
+                # (tn >> eps_t) are untouched.
+                fac = jnp.minimum(1.0, (bound + 1e-10) / tn)
+                r_t_ncp = lam_t - fac[:, None] * ttr
+                # inactive (separated) nodes carry no friction: pin
+                # lam_t = 0 rather than stick-gluing an open interface
+                r_t = jnp.where(active[:, None], r_t_ncp, lam_t)
                 parts.append(jnp.concatenate([r_n, r_t.reshape(-1)]))
             else:
                 r_u = r_u - c.force(xcur, lam).reshape(-1)
@@ -536,25 +563,53 @@ def _refresh_hook(f, inner_step):
 
 
 
-def _lam_precond(interfaces, coords):
-    """Static diagonal preconditioner for the multiplier rows of the
-    saddle system: r_lamn rows scale like cn * d_j (d_j = the nodal mortar
-    area weight), r_lamt rows like ct * d_j — dividing by those brings the
-    lambda block to displacement scale, which GMRES with an identity
-    lambda-preconditioner badly mis-weights on graded meshes."""
+def _lam_precond(interfaces, field):
+    """Schur-probed diagonal preconditioner for the multiplier rows of the
+    saddle system.
+
+    With block preconditioning M_z = blkdiag(M_u, s), GMRES sees the
+    multiplier block through the preconditioned Schur complement
+    S = s · G M_u Gᵀ (G = constraint row gradients).  The earlier area
+    scaling s = 1/(cn·d) left diag(S) ~ d/(E·h) ~ 1e-3, whose tiny
+    eigenvalues stall restarted GMRES for thousands of iterations.  Here
+    s_j = 1 / (G_j · M_u G_j) puts diag(S) ≈ 1 — measured 2.4x fewer
+    Krylov iterations on the frictional stick anchor.  Probed once at
+    setup in the reference configuration (chunked vjp rows to bound
+    memory at ndof × chunk)."""
     import numpy as _np
+
+    M_u = field.build_preconditioner(jnp.zeros(field.ndof))
+    w = jnp.asarray(field.dbc.free_mask, field.coords.dtype)
+    x0 = jnp.asarray(field.coords)
+    ndpn = field.ndpn
+
+    def _sigma(fn, nrows):
+        _, pull = jax.vjp(fn, jnp.zeros(field.ndof))
+
+        def row_sigma(j):
+            g = pull(jnp.zeros((nrows,)).at[j].set(1.0))[0] * w
+            return g @ M_u(g)
+
+        chunks = []
+        for lo in range(0, nrows, 64):
+            idx = jnp.arange(lo, min(lo + 64, nrows))
+            chunks.append(jax.vmap(row_sigma)(idx))
+        return jnp.concatenate(chunks)
 
     scales = []
     for c in interfaces:
-        _, d = c.gaps(jnp.asarray(coords))
-        d = _np.maximum(_np.asarray(d), 1e-12)
-        sn = 1.0 / (c.cn * d)
+        sig_n = _sigma(
+            lambda u: c.cn * c.gaps(x0 + u.reshape(-1, ndpn))[0], c.S)
+        sn = 1.0 / jnp.maximum(sig_n, 1e-12)
         if c.mu > 0.0:
-            st = _np.repeat(1.0 / (c.ct * d), 2)
-            scales.append(_np.concatenate([sn, st]))
+            sig_t = _sigma(
+                lambda u: (c.ct * c.slips(
+                    x0 + u.reshape(-1, ndpn), x0)[0]).reshape(-1), 2 * c.S)
+            st = 1.0 / jnp.maximum(sig_t, 1e-12)
+            scales.append(jnp.concatenate([sn, st]))
         else:
             scales.append(sn)
-    return jnp.asarray(_np.concatenate(scales))
+    return jnp.concatenate(scales)
 
 
 def make_statics_step(f, dt):
@@ -576,7 +631,7 @@ def make_statics_step(f, dt):
     # line search: damps semismooth active/stick/slip flapping near the
     # threshold (same safeguard as the dynamic step)
     nw = replace(f.params.newton, lin_method="gmres", line_search=True)
-    lam_scale = _lam_precond(interfaces, f.disc.coords)
+    lam_scale = _lam_precond(interfaces, f)
 
     def step(state):
         t1 = state["t"] + dt
@@ -639,7 +694,7 @@ def make_genalpha_step(f, dt):
     # safeguard breaks the cycle (the reference's NOX backtracking plays
     # the same role)
     nw = replace(f.params.newton, lin_method="gmres", line_search=True)
-    lam_scale = _lam_precond(interfaces, f.disc.coords)
+    lam_scale = _lam_precond(interfaces, f)
 
     def step(state):
         t1 = state["t"] + dt

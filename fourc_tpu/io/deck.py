@@ -822,6 +822,12 @@ def _build_conditions(conds: dict, discs: dict) -> dict:
                         master_faces=_resolve_faces(disc, item["master"]),
                         cn=float(item.get("cn", 10.0)),
                         search_factor=float(item.get("search_factor", 4.0)),
+                        # Coulomb friction (ref: FRICTION coulomb + FRCOEFF,
+                        # 4C_inpar_contact.cpp; 4C_contact_friction_node.cpp)
+                        friction_mu=float(item.get("friction_mu", 0.0)),
+                        ct=float(item.get("ct", 0.0)),
+                        refresh_frac=float(item.get("refresh_frac", 0.5)),
+                        lm_shape=str(item.get("lm_shape", "dual")),
                     )
                 )
             elif key == "contact":

@@ -356,7 +356,11 @@ def maybe_shard(deck, field, state=None):
     field's node/element/dof arrays over an N-device jax Mesh (the analog
     of the reference's NP 1-4 deck variants,
     ref: tests/list_of_tests.cmake:12).  Returns the (possibly sharded)
-    state; no-op when nshard <= 1."""
+    state; no-op when nshard <= 1.
+
+    ``field`` may be a single field or a list of fields (coupled problems
+    shard every participating field over the SAME mesh — the reference
+    distributes every Discretization of a coupled problem)."""
     n = int(deck.problem.get("nshard", 0) or 0)
     if n <= 1:
         return state
@@ -368,7 +372,8 @@ def maybe_shard(deck, field, state=None):
         raise ValueError(
             f"problem.nshard={n} but only {len(jax.devices())} devices")
     mesh = sh.make_mesh(n)
-    sh._shard_common(field, mesh)
+    for fld in (field if isinstance(field, (list, tuple)) else [field]):
+        sh._shard_common(fld, mesh)
     return sh.shard_state(state, mesh) if state is not None else None
 
 

@@ -76,6 +76,35 @@ def run(deck, callbacks=None) -> drv.RunResult:
     dt_sub = float(dyn["timestep"]) / n_sub
 
     kind = str(dyn["kind"]).lower()
+
+    def _make_grid(cell_size, default_k):
+        """Cartesian bin overlay sized from the deck or auto from the
+        initial cloud (ref: src/core/binstrategy BinningStrategy domain
+        bounding box + CUTOFF_RADIUS)."""
+        from fourc_tpu.particles.gridhash import GridHash
+
+        nsec = dict(psec.get("neighbor") or {})
+        lo = nsec.get("lo")
+        hi = nsec.get("hi")
+        if lo is None or hi is None:
+            span = x0.max(axis=0) - x0.min(axis=0) + cell_size
+            lo = x0.min(axis=0) - 0.25 * span
+            hi = x0.max(axis=0) + 0.25 * span
+        K = int(nsec.get("max_per_cell", default_k))
+        return GridHash(np.asarray(lo, float), np.asarray(hi, float),
+                        float(nsec.get("cell_size", cell_size)),
+                        dim=dim, max_per_cell=K)
+
+    def _use_grid():
+        """Deck override, else AUTO: grid beyond the N where the (N, N)
+        all-pairs arrays stop being the fast/feasible choice (the
+        reference never does all-pairs — src/particle_engine is bin-based
+        throughout; small N keeps the simpler kernel as a fallback)."""
+        mode = str((psec.get("neighbor") or {}).get("type", "auto")).lower()
+        if mode in ("grid", "allpairs"):
+            return mode == "grid"
+        return n_p >= 4000
+
     with timers("setup"):
         if kind == "dem":
             radii = jnp.asarray(np.broadcast_to(
@@ -86,8 +115,17 @@ def run(deck, callbacks=None) -> drv.RunResult:
             params = pe.DemParams(**dp)
             walls = [(tuple(w["point"]), tuple(w["normal"]))
                      for w in (psec.get("walls") or [])]
-            step = pe.make_dem_stepper(params, radii, masses, walls=walls,
-                                       n_sub=n_sub)
+            if _use_grid():
+                from fourc_tpu.particles.gridhash import make_dem_stepper_grid
+
+                rmax = float(np.asarray(radii).max())
+                grid = _make_grid(2.0 * rmax + max(
+                    float(getattr(params, "adhesion_gap", 0.0)), 0.0), 16)
+                step = make_dem_stepper_grid(params, radii, masses, grid,
+                                             walls=walls, n_sub=n_sub)
+            else:
+                step = pe.make_dem_stepper(params, radii, masses, walls=walls,
+                                           n_sub=n_sub)
         elif kind == "sph":
             sp = _coerce(dict(psec.get("sph") or {}))
             if "gravity" in sp:
@@ -97,8 +135,15 @@ def run(deck, callbacks=None) -> drv.RunResult:
             if psec.get("boundary") is not None:
                 boundary = np.zeros(n_p, bool)
                 boundary[np.asarray(psec["boundary"], int)] = True
-            step = pe.make_sph_stepper(params, masses, n_sub=n_sub,
-                                       boundary=boundary)
+            if _use_grid():
+                from fourc_tpu.particles.gridhash import make_sph_stepper_grid
+
+                grid = _make_grid(2.0 * float(params.h), 48)
+                step = make_sph_stepper_grid(params, masses, grid,
+                                             n_sub=n_sub, boundary=boundary)
+            else:
+                step = pe.make_sph_stepper(params, masses, n_sub=n_sub,
+                                           boundary=boundary)
         else:
             raise ValueError(f"unknown particle_dynamic.kind {kind!r}")
 

@@ -890,10 +890,15 @@ def _static_precond(f: SolidField, mass_shift: float = 0.0):
 
     M = gmg.build_for_solid(f, mass_shift=mass_shift)
     if M is None:
+        # general topology: fall back to SA-AMG (the multigrid the
+        # reference's MueLu provides on any mesh), NOT block-Jacobi — the
+        # Krylov iteration count triples without a multilevel hierarchy
+        # (measured 214 vs ~70 its/step at 107k dofs, permuted box)
         import warnings
 
         warnings.warn("gmg preconditioner needs a structured single-block "
-                      "mesh; falling back to block_jacobi")
+                      "mesh; falling back to SA-AMG")
+        return f._build_amg(mass_shift)
     elif hasattr(f, "hoister"):
         for lv in M.levels:
             # NOTE: `free` (bool) is deliberately NOT hoisted — feeding a

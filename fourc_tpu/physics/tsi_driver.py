@@ -232,6 +232,8 @@ def run(deck, callbacks=None) -> drv.RunResult:
     cfg = deck.sections["tsi_dynamic"]
     cbs = list(callbacks or [])
     state, n_steps, cbs = drv.setup_restart(deck, "tsi", state, cfg["numstep"], cbs)
+    # NP>1 deck variant: shard BOTH participating fields over the same mesh
+    state = drv.maybe_shard(deck, [f.solid, f.thermo], state)
 
     state, agg = drv.time_loop(
         "tsi", state, lambda dt: make_step(f, dt), cfg["timestep"],

@@ -131,9 +131,11 @@ def test_friction_traction_cone():
     tmag = np.linalg.norm(lam_t, axis=1)
     ratio = tmag[act] / (mu * lam_n[act])
     np.testing.assert_allclose(ratio, 1.0, atol=0.05)
-    # friction resists the motion: lam_t x-component negative on the slave
-    # (force on slave body opposes +x slide)
-    assert np.all(tmag[act] > 0)
+    # sign convention: λ_t is the traction ON THE MASTER — parallel to the
+    # slave's slip direction (+x); the slave feels −λ_t (resisting).  In
+    # the nodal tangent basis with n = −z: t1 = +y, t2 = +x, so the
+    # x-traction is component 1.
+    assert np.all(lam_t[act, 1] > 0)
 
 
 def test_friction_stick_no_slip():
@@ -176,6 +178,86 @@ def test_friction_stick_no_slip():
         d[disc.node_sets["a_zmax"], 0].mean()
     shear_ux = 2 * (1 + nu) * tau / E * 0.4  # elastic shear per block
     assert abs(slip) < 0.1 * shear_ux
+
+
+def test_stick_slip_transition_threshold():
+    """Displacement-driven shear through the Coulomb threshold: the
+    interface sticks below the analytic limit drive u* = 2h·μ·p̄/G, and at
+    gross slip the TOTAL sliding friction force equals μ x (total normal
+    force) — exactly, independent of the moment-tilted pressure
+    distribution — with slip = u_drive − u* (ref: the stick→slip
+    transition the reference's FRCOEFF semismooth strategy resolves,
+    4C_contact_lagrange_strategy.cpp + 4C_contact_friction_node.cpp)."""
+    mu = 0.3
+    disc, cond = _two_blocks(gap=0.0, friction_mu=mu, cn=200.0)
+    E, nu = 1000.0, 0.0
+    G = E / (2 * (1 + nu))
+    h = 0.4  # block height
+    p_n = 5.0
+    u_star = 2 * h * mu * p_n / G  # analytic stick-limit drive = 0.0024
+    mat = make_material({"type": "stvenantkirchhoff", "youngs": E,
+                         "nue": nu, "density": 1.0})
+    params = ps.SolidParams(kinem="linear", dyntype="statics")
+    params.newton.tol_res = 1e-9
+    params.newton.tol_disp = 1e-10
+    params.newton.max_iter = 40
+    params.newton.lin_maxiter = 3000
+    from fourc_tpu.core.functions import FunctionManager
+
+    fm = FunctionManager()
+    fm.add(1, "t")
+    u_end = 0.02  # >> u*: every node ends on the cone
+    dbc = [DirichletBC(disc.node_sets["a_zmin"], [1, 1, 1], [0, 0, 0]),
+           DirichletBC(disc.node_sets["b_zmax"], [1, 1, 0],
+                       [u_end, 0, 0], funct=[1, 0, 0])]
+    neu = [NeumannBC(disc.face_sets["b_zmax"], [0, 0, 1], [0, 0, -p_n])]
+    f = ps.SolidField(disc, {1: mat}, params, dirichlet=dbc, neumann=neu,
+                      mortar_contact=[cond], functions=fm)
+    state = ps.compute_initial_state(f, ps.init_state(f))
+    step = ps.make_step(f, dt=0.1)  # drive 0.002 per step, 10 steps
+
+    def interface_slip(st):
+        d = np.asarray(st["d"]).reshape(-1, 3)
+        return d[disc.node_sets["b_zmin"], 0].mean() - \
+            d[disc.node_sets["a_zmax"], 0].mean()
+
+    slips = []
+    for _ in range(10):
+        state, stats = step(state)
+        assert bool(stats["converged"])
+        slips.append(interface_slip(state))
+    # drive 0.002 < u* = 0.0024: stick (slip a tiny fraction of u*)
+    assert abs(slips[0]) < 0.05 * u_star
+    # steady gross sliding: once every node is on the cone the elastic
+    # state is frozen and each drive increment converts ENTIRELY to slip
+    # (exact, geometry-independent)
+    dstep = u_end / 10
+    np.testing.assert_allclose(slips[-1] - slips[-2], dstep, rtol=0.05)
+    # threshold bracket: slip switches on only past u* (the pure-shear
+    # estimate; moment-induced bending absorbs some extra drive, so the
+    # analytic excess is an upper bound)
+    assert 0.5 * (u_end - u_star) < slips[-1] < 1.02 * (u_end - u_star)
+    assert slips[-1] > slips[-2] > slips[-3]
+    S = f.mortar_contact[0].S
+    c = f.mortar_contact[0]
+    lam = np.asarray(state["lam"])
+    lam_n, lam_t = lam[:S], lam[S:].reshape(S, 2)
+    # every contact node slides on the cone, traction PARALLEL to the slip
+    # increment (λ_t = traction on the master; the slave feels −λ_t,
+    # opposing its +x motion)
+    tmag = np.linalg.norm(lam_t, axis=1)
+    np.testing.assert_allclose(tmag / (mu * lam_n), 1.0, atol=0.02)
+    # total sliding friction force = μ x total normal force — exact,
+    # pressure-distribution independent (Σ d_j λ_n,j = P_total)
+    x = np.asarray(disc.coords) + np.asarray(state["d"]).reshape(-1, 3)
+    import jax.numpy as jnp
+
+    _, dw = c.gaps(jnp.asarray(x))
+    dw = np.asarray(dw)
+    # find the tangent component aligned with +x slip
+    F_t = (dw * tmag).sum()
+    F_n = (dw * lam_n).sum()
+    np.testing.assert_allclose(F_t, mu * F_n, rtol=0.01)
 
 
 def test_large_sliding_refresh():

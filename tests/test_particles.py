@@ -92,8 +92,71 @@ def test_gridhash_matches_allpairs_dem():
     f_ap = np.asarray(pe.dem_forces(jnp.asarray(x), jnp.asarray(v),
                                     jnp.asarray(radii), params)[0])
     f_gh = np.asarray(gh.dem_forces_grid(jnp.asarray(x), jnp.asarray(v),
-                                         jnp.asarray(radii), params, grid))
+                                         jnp.asarray(radii), params, grid)[0])
     assert np.allclose(f_ap, f_gh, atol=1e-10)
+
+
+def test_gridhash_matches_allpairs_dem_spin_friction():
+    """Grid-hash DEM with Coulomb friction + rolling + spin == all-pairs
+    (force AND torque)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fourc_tpu.particles import engine as pe
+    from fourc_tpu.particles import gridhash as gh
+
+    rng = np.random.default_rng(5)
+    N = 120
+    x = rng.uniform(0, 1.5, (N, 3))
+    v = rng.normal(0, 0.1, (N, 3))
+    omega = rng.normal(0, 0.5, (N, 3))
+    radii = np.full(N, 0.06)
+    params = pe.DemParams(k_normal=1e3, damp_normal=2.0, friction_mu=0.4,
+                          rolling_mu=0.05, adhesion_f0=0.5, adhesion_gap=0.01)
+    grid = gh.GridHash([0, 0, 0], [1.5, 1.5, 1.5], cell_size=0.14,
+                       max_per_cell=24)
+    assert grid.occupancy_check(x) <= 24
+    walls = [((0, 0, 0), (0, 0, 1.0))]
+    f_ap, t_ap = pe.dem_forces(jnp.asarray(x), jnp.asarray(v),
+                               jnp.asarray(radii), params, walls=walls,
+                               omega=jnp.asarray(omega))
+    f_gh, t_gh = gh.dem_forces_grid(jnp.asarray(x), jnp.asarray(v),
+                                    jnp.asarray(radii), params, grid,
+                                    walls=walls, omega=jnp.asarray(omega))
+    assert np.allclose(np.asarray(f_ap), np.asarray(f_gh), atol=1e-10)
+    assert np.allclose(np.asarray(t_ap), np.asarray(t_gh), atol=1e-10)
+
+
+def test_gridhash_sph_stepper_matches_allpairs():
+    """Grid SPH stepper (with boundary freeze + surface tension) tracks the
+    all-pairs stepper trajectory."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fourc_tpu.particles import engine as pe
+    from fourc_tpu.particles import gridhash as gh
+
+    rng = np.random.default_rng(7)
+    N = 150
+    x = rng.uniform(0, 1.0, (N, 3))
+    masses = jnp.full((N,), 0.8)
+    params = pe.SphParams(h=0.12, rho0=800.0, c0=20.0,
+                          surface_tension=0.05, gravity=(0, 0, -9.81))
+    boundary = np.zeros(N, bool)
+    boundary[:20] = True
+    grid = gh.GridHash([-0.5, -0.5, -0.5], [1.5, 1.5, 1.5],
+                       cell_size=2 * params.h, max_per_cell=48)
+    assert grid.occupancy_check(x) <= 48
+    s0 = pe.init_state(x)
+    step_ap = pe.make_sph_stepper(params, masses, n_sub=2, boundary=boundary)
+    step_gh = gh.make_sph_stepper_grid(params, masses, grid, n_sub=2,
+                                       boundary=boundary)
+    s_ap = step_ap(s0, 1e-3)
+    s_gh = step_gh(s0, 1e-3)
+    assert np.allclose(np.asarray(s_ap["x"]), np.asarray(s_gh["x"]),
+                       atol=1e-9)
+    assert np.allclose(np.asarray(s_ap["v"]), np.asarray(s_gh["v"]),
+                       atol=1e-8)
 
 
 def test_gridhash_matches_allpairs_sph():

@@ -33,6 +33,8 @@ CASES = [
     "thermo_fin_cooling.yaml",
     "fluid_poiseuille_ost.yaml",
     "fluid_cavity_stationary.yaml",
+    # coupled problem (both fields sharded over the same mesh)
+    "tsi_heated_bar.yaml",
 ]
 
 

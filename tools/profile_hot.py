@@ -31,7 +31,8 @@ def build_field(n):
     from fourc_tpu.physics import solid as ps
 
     disc = gridgen.box(n, n, n, cell="hex8")
-    if os.environ.get("PROF_MESH", "lattice") == "unstructured":
+    prof_mesh = os.environ.get("PROF_MESH", "lattice")
+    if prof_mesh in ("unstructured", "permuted"):
         # same deterministic jitter as bench.py BENCH_MESH=unstructured
         X = np.array(disc.coords)
         rng = np.random.RandomState(0)
@@ -40,6 +41,20 @@ def build_field(n):
         X[interior] += (rng.rand(int(interior.sum()), 3) - 0.5) * (0.35 * h)
         disc.coords = X
         disc.structured_shape = None
+    if prof_mesh == "permuted":
+        # general topology: random node renumbering (bench BENCH_MESH=permuted)
+        rng = np.random.RandomState(1)
+        perm = rng.permutation(disc.n_nodes).astype(np.int32)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(disc.n_nodes, dtype=np.int32)
+        disc.coords = np.array(disc.coords)[perm]
+        for key, blk in disc.blocks.items():
+            blk.conn = inv[blk.conn]
+        for nm in disc.node_sets:
+            disc.node_sets[nm] = inv[disc.node_sets[nm]]
+        for nm, fbs in disc.face_sets.items():
+            for fb in fbs:
+                fb.conn = inv[fb.conn]
     mat = make_material({"type": "neohooke", "youngs": 1.0e4, "nue": 0.3,
                          "density": 1.0})
     params = ps.SolidParams(kinem="nonlinear", dyntype="genalpha",
