@@ -7,11 +7,25 @@ target < 150 ms / implicit step.  Prints ONE JSON line:
 vs_baseline = target_ms / measured_ms  (>1 means faster than target).
 
 Env overrides: BENCH_N (elements per edge, default 72 -> 1.17M dofs),
-BENCH_STEPS, BENCH_PRECOND.
+BENCH_STEPS, BENCH_PRECOND, BENCH_MESH (lattice | unstructured = jittered
+coords on box topology | permuted = jittered + randomly renumbered nodes,
+genuinely general topology through the flat gather/scatter + SA-AMG path),
+BENCH_RAYLEIGH=1 (Rayleigh-damped lumped-mass wide variant).
+
+A default invocation (no BENCH_N/BENCH_MESH override) additionally runs
+the VARIANT matrix in subprocesses and embeds their JSON under
+detail.variants, so one driver capture records the whole perf story:
+  unstructured_1M : jittered box at the flagship size (wide general-
+                    geometry kernels + exact-geometry GMG)
+  permuted_500k   : general topology at >= 500k dofs (flat path + SA-AMG)
+  f64_northstar   : JAX_ENABLE_X64=1, Newton to tol_res 1e-8 abs
+Disable with BENCH_VARIANTS=0.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 
@@ -101,6 +115,12 @@ def main():
         host_newton=host_newton,
         wide=wide,
     )
+    if os.environ.get("BENCH_RAYLEIGH", "0") == "1":
+        # round-5 fast-path widening: Rayleigh-damped lumped-mass variant
+        # runs in the SAME wide lattice kernels (physics/solid_lattice.py)
+        params.rayleigh_alpha = 0.3
+        params.rayleigh_beta = 0.002
+        params.mass = "lumped"
     # f32 on TPU: relative residual drop of 1e-4 (the measured f32 residual
     # floor for this problem is ~3e-5 relative; BASELINE's 1e-8 abs maps to
     # f64 semantics and is reached when run with x64)
@@ -198,6 +218,7 @@ def main():
 
     ms = 1e3 * total / n_steps
     target_ms = 150.0
+    variants = _run_variants(n)
     result = {
         "metric": f"time_per_implicit_step_{ndof//1000}kDOF_neohooke_genalpha",
         "value": round(ms, 3),
@@ -218,7 +239,61 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    if variants:
+        result["detail"]["variants"] = variants
     print(json.dumps(result))
+
+
+def _run_variants(flagship_n):
+    """Default-invocation variant matrix (subprocesses; each prints its own
+    JSON line which is embedded verbatim).  Returns {} when variants are
+    disabled or this IS a variant/overridden run."""
+    if os.environ.get("BENCH_VARIANTS", "1") != "1":
+        return {}
+    if "BENCH_N" in os.environ or "BENCH_MESH" in os.environ \
+            or os.environ.get("BENCH_RAYLEIGH") == "1" \
+            or os.environ.get("JAX_ENABLE_X64"):
+        return {}  # an explicitly-configured run benchmarks only itself
+    specs = {
+        # jittered box at flagship size: general-geometry wide kernels +
+        # exact-geometry GMG (round-4 path, now driver-recorded)
+        "unstructured_1M": {"BENCH_MESH": "unstructured",
+                            "BENCH_N": str(flagship_n), "BENCH_STEPS": "5"},
+        # genuinely general topology >= 500k dofs: flat path + SA-AMG
+        "permuted_500k": {"BENCH_MESH": "permuted", "BENCH_N": "56",
+                          "BENCH_STEPS": "5"},
+        # f64 North-Star semantics: Newton to tol_res 1e-8 absolute.
+        # Mosaic has no f64 kernels -> flat gather/scatter path + SA-AMG
+        "f64_northstar": {"JAX_ENABLE_X64": "1", "BENCH_N": "48",
+                          "BENCH_STEPS": "3", "BENCH_WIDE": "0",
+                          "FOURC_LATTICE": "0", "BENCH_PRECOND": "amg"},
+        # widened fast path: Rayleigh damping + lumped mass in the wide
+        # lattice kernels at flagship size
+        "rayleigh_wide": {"BENCH_RAYLEIGH": "1",
+                          "BENCH_N": str(flagship_n), "BENCH_STEPS": "5"},
+    }
+    here = os.path.abspath(__file__)
+    out = {}
+    for name, envup in specs.items():
+        env = dict(os.environ)
+        env.update(envup)
+        env["BENCH_VARIANTS"] = "0"
+        try:
+            t0 = time.perf_counter()
+            proc = subprocess.run(
+                [sys.executable, here], env=env, capture_output=True,
+                text=True, timeout=float(os.environ.get(
+                    "BENCH_VARIANT_TIMEOUT", "3600")))
+            line = [ln for ln in proc.stdout.strip().splitlines()
+                    if ln.startswith("{")]
+            if line:
+                out[name] = json.loads(line[-1])
+                out[name]["wall_s"] = round(time.perf_counter() - t0, 1)
+            else:
+                out[name] = {"error": (proc.stderr or "no output")[-500:]}
+        except Exception as e:  # noqa: BLE001 — record, don't abort the bench
+            out[name] = {"error": str(e)[:500]}
+    return out
 
 
 if __name__ == "__main__":

@@ -338,6 +338,40 @@ class MortarContact:
         d = d.at[rows.reshape(-1)].add((wphys[:, None] * Phi).reshape(-1))
         return gt, d
 
+    def smoothed_pressure(self, x, lam_n):
+        """Post-processed nodal contact pressures: L2-projection of the
+        mortar traction field t(ξ) = Σ_j λ_j Φ_j onto the STANDARD nodal
+        basis of the slave trace,  M p = ∫ N t dA.
+
+        Dual (biorthogonal) multipliers carry a ±10% nodal moiré on
+        non-matching interfaces (the checkerboard the discrete
+        biorthogonalization imprints on pointwise values — total force
+        stays exact); the projection recovers a smooth, patch-test-exact
+        pressure observable.  By discrete biorthogonality the rhs is just
+        d_j λ_j, so only the slave-trace mass matrix is assembled (dense
+        solve — interface node counts are small relative to the volume).
+        Ref: the reference post-processes contact tractions the same way
+        (nodal normal contact stress output, src/contact
+        4C_contact_abstract_strategy.cpp compute_contact_stresses).
+        """
+        nrows = self._nodal_normals(x)
+        Xs = x[self.sconn[self.seg_sf]]
+        N_s = _N_quad4(self.seg_xi)
+        dN_s = _dN_quad4(self.seg_xi)
+        tg = jnp.einsum("gad,gac->gcd", Xs, dN_s)
+        detJ = jnp.linalg.norm(jnp.cross(tg[:, 0], tg[:, 1]), axis=1)
+        wphys = self.seg_w * detJ
+        rows = self.srow[self.seg_sf]
+        M = jnp.zeros((self.S, self.S), x.dtype)
+        M = M.at[rows[:, :, None], rows[:, None, :]].add(
+            wphys[:, None, None] * N_s[:, :, None] * N_s[:, None, :])
+        _, d = self.gaps(x)
+        # guard empty rows (slave nodes whose support lost all segments)
+        ok = jnp.abs(jnp.diagonal(M)) > 1e-30
+        M = jnp.where(jnp.eye(self.S, dtype=bool) & ~ok[None, :],
+                      1.0, M)
+        return jnp.linalg.solve(M, jnp.where(ok, d * lam_n, 0.0))
+
     def force(self, x, lam):
         """Consistent contact force on ALL nodes from multipliers λ (S,):
         f_c = (∂g̃/∂x)ᵀ λ — the exact dual of the weighted-gap constraint

@@ -140,6 +140,10 @@ class BlockAssembly:
     # sorted segment_sum path measured 14.5 ms for a 9 MB scatter at 107k
     # dofs; this form is bandwidth-bound)
     inc: jnp.ndarray | None = None
+    # inc with padding slots clipped to 0 + 0/1 mask weights (the apply-
+    # time form; `inc` itself is kept for introspection/tests)
+    inc_clip: jnp.ndarray | None = None
+    inc_w: jnp.ndarray | None = None
 
 
 _HEX8_OFFSETS = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
@@ -309,6 +313,12 @@ class DofMap:
                 inc_np = np.full((n_nodes, kmax), flat_nodes.size, np.int32)
                 inc_np[nodes_sorted, slots] = order.astype(np.int32)
                 inc = jnp.asarray(inc_np)
+            inc_clip = inc_w = None
+            if inc is not None:
+                pad = flat_nodes.size
+                inc_clip = jnp.asarray(np.where(inc_np == pad, 0,
+                                                inc_np).astype(np.int32))
+                inc_w = jnp.asarray((inc_np != pad).astype(np.float32))
             out[key] = BlockAssembly(
                 cell=blk.cell,
                 conn=jnp.asarray(conn),
@@ -318,6 +328,8 @@ class DofMap:
                 mat_id=jnp.asarray(blk.mat_id),
                 structured=structured,
                 inc=inc,
+                inc_clip=inc_clip,
+                inc_w=inc_w,
             )
         return DofMap(ndpn=ndpn, ndof=ndof, blocks=out)
 
@@ -348,11 +360,13 @@ class DofMap:
                 continue
             if ba.inc is not None and out_dim is None:
                 # gather + small-axis sum (see BlockAssembly.inc): TPU-
-                # native assembly — no scatter in the compiled program
+                # native assembly — no scatter in the compiled program.
+                # Padding handled by clipped indices + a 0/1 mask weight
+                # instead of concatenating a zero row: the concat forced a
+                # copy of the whole contribution stream before the gather
+                # (measured 16% of the gather+scatter pair at 107k dofs)
                 rows = fe.reshape(-1, self.ndpn)
-                rows = jnp.concatenate(
-                    [rows, jnp.zeros((1, self.ndpn), rows.dtype)])
-                contrib = rows[ba.inc]  # (n_nodes, k, ndpn)
+                contrib = rows[ba.inc_clip] * ba.inc_w[..., None]
                 total = total + contrib.sum(axis=1).reshape(-1)
                 continue
             flat = fe.reshape(-1)[ba.perm]

@@ -235,7 +235,12 @@ def neo_jvp_ref(u_lat, v_lat, spec, G, wdet, lam, mu, model="neohooke"):
 
 def _use_pallas():
     # axon (remote TPU) registers a non-"tpu" platform name; anything that
-    # is not the CPU interpreter is a real TPU backend here
+    # is not the CPU interpreter is a real TPU backend here.
+    # f64: Mosaic has no float64 kernel support ("failed to legalize
+    # func.return" at compile) — x64 runs (the 1e-8 North-Star semantics)
+    # take the XLA-reference stencils instead.
+    if jax.config.jax_enable_x64:
+        return False
     return jax.default_backend() != "cpu"
 
 

@@ -70,9 +70,12 @@ def internal_force(Xe, ue, cell: CellType, material, kinem: str = "nonlinear",
     impl = os.environ.get("FOURC_SOLID_IMPL", impl)
     # fused Pallas kernel: the speed-of-light path for the hot hex8 case
     # (one launch; all Gauss-chain intermediates stay in VMEM)
+    # f64: Mosaic has no float64 kernels (compile fails with "failed to
+    # legalize func.return") — x64 runs take the einsum/unrolled XLA paths
     if (impl in ("auto", "pallas") and kinem == "nonlinear" and d == 3
             and cell.name == "hex8" and history is None and temps is None
-            and jax.default_backend() != "cpu"):
+            and jax.default_backend() != "cpu"
+            and not jax.config.jax_enable_x64):
         from fourc_tpu.ops import solid_pallas as spk
 
         if spk.pallas_model_for(material) is not None:

@@ -35,6 +35,15 @@ class DemParams:
 
     k_normal: float = 1e4  # normal spring stiffness
     damp_normal: float = 0.0  # normal dashpot coefficient
+    # NormalLinearSpringDamp (ref: 4C_particle_interaction_dem_contact_
+    # normal.cpp:99-134): damping derived from the restitution coefficient,
+    # d = 2|ln e| sqrt(k m_eff/(ln^2 e + pi^2)) (e = 0 -> 2 sqrt(k m_eff)),
+    # linearly regularized to full amplitude at |gap| = damp_reg_fac*r_min
+    restitution: float = -1.0  # < 0: disabled (use damp_normal instead)
+    damp_reg_fac: float = 0.0
+    # ref TENSION_CUTOFF: clamp the damped normal force at zero (no
+    # adhesive pull during rebound); the undamped spring is >= 0 anyway
+    tension_cutoff: bool = True
     friction_mu: float = 0.0  # Coulomb sliding friction coefficient
     k_tangential: float = 0.0  # tangential dashpot (viscous regularization)
     rolling_mu: float = 0.0  # rolling resistance coefficient
@@ -47,7 +56,17 @@ class DemParams:
         return self.friction_mu > 0.0 or self.rolling_mu > 0.0
 
 
-def dem_forces(x, v, radii, params: DemParams, walls=(), omega=None):
+def _damp_normal_fac(params):
+    """Restitution-based damping prefactor (x sqrt(m_eff) at the pair)."""
+    e = params.restitution
+    if e > 0.0:
+        lne = abs(np.log(e))
+        return 2.0 * lne * np.sqrt(params.k_normal / (lne**2 + np.pi**2))
+    return 2.0 * np.sqrt(params.k_normal)
+
+
+def dem_forces(x, v, radii, params: DemParams, walls=(), omega=None,
+               masses=None):
     """Pairwise contact forces (N, d) and torques (N, 3) — spring-dashpot
     normal contact, Coulomb-capped viscous tangential friction (relative
     surface velocity incl. spin), rolling resistance, and DMT-type
@@ -67,8 +86,23 @@ def dem_forces(x, v, radii, params: DemParams, walls=(), omega=None):
     n = diff / dist[..., None]
     vrel = v[:, None, :] - v[None, :, :]
     vn = jnp.sum(vrel * n, axis=-1)
-    fn = jnp.where(active, params.k_normal * overlap - params.damp_normal * vn, 0.0)
-    fn = jnp.maximum(fn, 0.0)
+    fn = params.k_normal * overlap - params.damp_normal * vn
+    if params.restitution >= 0.0 and masses is not None:
+        m_eff = (masses[:, None] * masses[None, :]) / jnp.maximum(
+            masses[:, None] + masses[None, :], 1e-300)
+        d_n = _damp_normal_fac(params) * jnp.sqrt(m_eff)
+        reg = 1.0
+        if params.damp_reg_fac > 0.0:
+            rmin = jnp.minimum(radii[:, None], radii[None, :])
+            reg = jnp.minimum(
+                1.0, jnp.abs(overlap) / (params.damp_reg_fac * rmin))
+        # sign: ref v_rel_normal = (v_i - v_j)·e_(i->j) = -vn (our n points
+        # j->i), so  -d·v_rel_normal  becomes  -d·vn: approach (vn < 0)
+        # ADDS repulsion
+        fn = fn - d_n * vn * reg
+    fn = jnp.where(active, fn, 0.0)
+    if params.tension_cutoff:
+        fn = jnp.maximum(fn, 0.0)
     # DMT-type adhesion: constant attraction inside a gap band around touch
     if params.adhesion_f0:
         near = (overlap > -params.adhesion_gap) & ~eye
@@ -247,7 +281,7 @@ def make_dem_stepper(params: DemParams, radii, masses, walls=(), n_sub=1):
 
     def accel(x, v, omega):
         f, tau = dem_forces(x, v, radii, params, walls,
-                            omega if spin else None)
+                            omega if spin else None, masses=masses)
         a = f / masses[:, None] + g[None, :]
         adot = tau / inertia[:, None] if (spin and tau is not None) else None
         return a, adot
@@ -269,7 +303,14 @@ def make_dem_stepper(params: DemParams, radii, masses, walls=(), n_sub=1):
                                        (state["x"], state["v"], state["a"], w0))
         return dict(state, x=x, v=v, a=a, omega=w, t=state["t"] + n_sub * dt)
 
-    return jax.jit(step, static_argnums=())
+    stepper = jax.jit(step, static_argnums=())
+    # initial accelerations a(x0, v0): velocity-Verlet's first half-kick
+    # needs them (the reference evaluates forces once before the loop;
+    # starting from a = 0 loses g*dt/2 of velocity — measured 2.5e-5
+    # against the reference's quoted gravity-deck trajectory)
+    stepper.initial_accel = jax.jit(
+        lambda x, v, w=None: accel(x, v, w)[0])
+    return stepper
 
 
 @dataclass
@@ -339,7 +380,10 @@ def make_sph_stepper(params: SphParams, masses, n_sub=1, boundary=None,
                                     (state["x"], state["v"], state["a"]))
         return dict(state, x=x, v=v, a=a, t=state["t"] + n_sub * dt)
 
-    return jax.jit(step)
+    stepper = jax.jit(step)
+    stepper.initial_accel = jax.jit(
+        lambda x, v, w=None: sph_accel(x, v, masses, params)[0])
+    return stepper
 
 
 def init_state(x0, v0=None):

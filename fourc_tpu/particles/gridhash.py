@@ -95,7 +95,7 @@ class GridHash:
 
 
 def dem_forces_grid(x, v, radii, params, grid: GridHash, walls=(),
-                    omega=None):
+                    omega=None, masses=None):
     """Spring-dashpot DEM via grid-hash candidates — full feature parity
     with engine.dem_forces (normal + tangential Coulomb friction incl.
     spin, rolling resistance, DMT adhesion, walls) at O(N·K) instead of
@@ -115,9 +115,23 @@ def dem_forces_grid(x, v, radii, params, grid: GridHash, walls=(),
     n = diff / dist[..., None]
     vrel = v[:, None, :] - vj
     vn = jnp.sum(vrel * n, axis=-1)
-    fn = jnp.where(active, params.k_normal * overlap
-                   - params.damp_normal * vn, 0.0)
-    fn = jnp.maximum(fn, 0.0)
+    fn = params.k_normal * overlap - params.damp_normal * vn
+    if params.restitution >= 0.0 and masses is not None:
+        from fourc_tpu.particles.engine import _damp_normal_fac
+
+        mj = masses[idx]
+        m_eff = (masses[:, None] * mj) / jnp.maximum(
+            masses[:, None] + mj, 1e-300)
+        d_n = _damp_normal_fac(params) * jnp.sqrt(m_eff)
+        reg = 1.0
+        if params.damp_reg_fac > 0.0:
+            rmin = jnp.minimum(radii[:, None], rj)
+            reg = jnp.minimum(
+                1.0, jnp.abs(overlap) / (params.damp_reg_fac * rmin))
+        fn = fn - d_n * vn * reg
+    fn = jnp.where(active, fn, 0.0)
+    if params.tension_cutoff:
+        fn = jnp.maximum(fn, 0.0)
     if params.adhesion_f0:
         near = (overlap > -params.adhesion_gap) & valid
         fn = fn - jnp.where(near, params.adhesion_f0, 0.0)
@@ -214,7 +228,7 @@ def make_dem_stepper_grid(params, radii, masses, grid: GridHash, walls=(),
 
     def accel(x, v, omega):
         f, tau = dem_forces_grid(x, v, radii, params, grid, walls,
-                                 omega if spin else None)
+                                 omega if spin else None, masses=masses)
         a = f / masses[:, None] + g[None, :]
         adot = tau / inertia[:, None] if (spin and tau is not None) else None
         return a, adot
@@ -236,7 +250,10 @@ def make_dem_stepper_grid(params, radii, masses, grid: GridHash, walls=(),
             0, n_sub, body, (state["x"], state["v"], state["a"], w0))
         return dict(state, x=x, v=v, a=a, omega=w, t=state["t"] + n_sub * dt)
 
-    return jax.jit(step)
+    stepper = jax.jit(step)
+    stepper.initial_accel = jax.jit(
+        lambda x, v, w=None: accel(x, v, w)[0])
+    return stepper
 
 
 def make_sph_stepper_grid(params, masses, grid: GridHash, n_sub=1,
@@ -288,4 +305,7 @@ def make_sph_stepper_grid(params, masses, grid: GridHash, n_sub=1,
                                     (state["x"], state["v"], state["a"]))
         return dict(state, x=x, v=v, a=a, t=state["t"] + n_sub * dt)
 
-    return jax.jit(step)
+    stepper = jax.jit(step)
+    stepper.initial_accel = jax.jit(
+        lambda x, v, w=None: sph_accel_grid(x, v, masses, params, grid)[0])
+    return stepper

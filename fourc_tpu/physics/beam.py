@@ -87,6 +87,14 @@ class BeamField:
                 from fourc_tpu.ops import beam_gex
 
                 self.block_gex[key] = beam_gex.make_internal_force(Xe, mat)
+            elif getattr(mat, "formulation", "linear") == "kirchhoff":
+                # shear-free geometrically exact Kirchhoff beam (beam3k
+                # counterpart, torsion-free Hermite variant; dof slots 3:6
+                # carry the centerline TANGENT increment)
+                from fourc_tpu.ops import beam_kirchhoff
+
+                self.block_gex[key] = beam_kirchhoff.make_internal_force(
+                    Xe, mat)
 
         # eager host-side precompute (as SolidField does): computing this
         # lazily inside a jitted trace would store a tracer on the object

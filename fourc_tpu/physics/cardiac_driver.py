@@ -94,9 +94,11 @@ def run(deck, callbacks=None) -> drv.RunResult:
 
         def sub(i, carry):
             V, w = carry
-            dV, dw = mat.rhs(V, w)
             ti = t0 + i.astype(dtype) * h
-            return (V + h * (dV + stim_at(ti)), w + h * dw)
+            # material-level integrator: Rush-Larsen for stiff HH-gate
+            # models (tentusscher), forward Euler otherwise (the analog
+            # of the reference's per-material internal-variable update)
+            return mat.ode_substep(V, w, h, stim_at(ti))
 
         V, w = jax.lax.fori_loop(0, n_sub, sub, (V, w))
 

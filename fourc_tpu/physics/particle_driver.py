@@ -147,6 +147,12 @@ def run(deck, callbacks=None) -> drv.RunResult:
         else:
             raise ValueError(f"unknown particle_dynamic.kind {kind!r}")
 
+    # velocity-Verlet needs a(x0, v0) for its first half-kick (the
+    # reference evaluates forces once before the time loop)
+    init_acc = getattr(step, "initial_accel", None)
+    if init_acc is not None:
+        state["a"] = init_acc(state["x"], state["v"], state.get("omega"))
+
     cbs = list(callbacks or [])
     combo = {"p": state, "step": jnp.asarray(0)}
     combo, _nsteps, cbs = drv.setup_restart(deck, "particles", combo,

@@ -28,18 +28,27 @@ from fourc_tpu.physics.newton import newton_solve
 
 def eligible(f) -> bool:
     """Whether the wide step can replace the flat gen-alpha step: pure
-    single-block lattice hyperelasticity with consistent mass and no
-    displacement-dependent external loads or extra residual terms."""
+    single-block lattice hyperelasticity with no displacement-dependent
+    external loads or extra residual terms.
+
+    Round-5 widening: lumped mass and Rayleigh damping are supported on
+    the UNIFORM lattice (f.lattice) — the damping stiffness term runs
+    through the pure-XLA reference stencil, which is differentiable to
+    the second order the Newton operator needs (the Pallas kernels carry
+    first-order custom_jvp rules only).  The general-geometry topology
+    path (lattice_geom) keeps the narrower envelope."""
     spec = f.lattice or getattr(f, "lattice_geom", None)
     if spec is None or f.params.dyntype != "genalpha":
         return False
-    if f.params.rayleigh_alpha or f.params.rayleigh_beta:
+    uniform = f.lattice is not None
+    if (f.params.rayleigh_alpha or f.params.rayleigh_beta) and not uniform:
         return False
     if (f.contact is not None or f.ties is not None or f.springs
             or getattr(f, "embedded", ()) or f.constraints
             or getattr(f, "mortar_contact", [])):
         return False
-    if f.params.mass != "consistent":
+    if f.params.mass != "consistent" and not (
+            uniform and f.params.mass == "lumped"):
         return False
     if any(nb.kind == "pressure" for nb, _, _, _ in f._neumann_data):
         return False
@@ -92,14 +101,42 @@ def make_wide_genalpha_step(f, dt: float, M_gmg):
     spec = _spec(f)
     mat = next(iter(f.block_mat.values()))
     cell = f._cell(next(iter(f.block_mat)))
+    ra, rb = f.params.rayleigh_alpha, f.params.rayleigh_beta
+    damp_ref = None
     if f.lattice is not None:  # uniform geometry: collapsed stencils
         force_w = _lat.make_force_wide(spec, cell, mat)
         if force_w is None:
             return None
-        Mst = f._mass_stencil()
+        if f.params.mass == "lumped":
+            from fourc_tpu.ops import lattice_pallas as lp_
 
-        def mass_op(vw):
-            return _lat.stencil_matvec_wide(Mst, vw, spec)
+            mlump_w = lp_.prep(f.lumped_mass(), spec)
+
+            def mass_op(vw):
+                return mlump_w * vw
+        else:
+            Mst = f._mass_stencil()
+
+            def mass_op(vw):
+                return _lat.stencil_matvec_wide(Mst, vw, spec)
+        if rb:
+            # stiffness-proportional damping K(d)·v via the pure-XLA
+            # reference stencil: second-order-differentiable, so the
+            # Newton jvp can pass through the damping term (the Pallas
+            # force carries a first-order custom_jvp only); same
+            # consistent-at-d_new semantics as the flat path
+            from fourc_tpu.materials.elastic import lame as _lame
+
+            model_ = _lat._material_model(mat)
+            lam_r, mu_r = (float(x) for x in
+                           _lame(mat.youngs, mat.nue))
+            G_r, wdet_r = _lat.uniform_geometry(cell, spec)
+
+            def damp_ref(uw):
+                out = _lat.neo_force_ref(
+                    _lat._wide_to_lat(uw, spec), spec, G_r, wdet_r,
+                    lam_r, mu_r, model_)
+                return _lat._lat_to_wide(out, spec)
     else:  # general geometry on lattice topology (round-4 kernels)
         from fourc_tpu.materials.elastic import lame
 
@@ -135,7 +172,15 @@ def make_wide_genalpha_step(f, dt: float, M_gmg):
                                             beta, gamma)
             a_mid = (1 - am) * a_new + am * a_n
             fint_mid = (1 - af) * force_w(d_new) + af * fint_n
-            return mass_op(a_mid) + fint_mid - fmid_ext
+            r = mass_op(a_mid) + fint_mid - fmid_ext
+            if ra or rb:
+                v_mid = (1 - af) * v_new + af * v_n
+                if ra:
+                    r = r + ra * mass_op(v_mid)
+                if rb:
+                    _, kv = jax.jvp(damp_ref, (d_new,), (v_mid,))
+                    r = r + rb * kv
+            return r
 
         from fourc_tpu.physics.solid import _predict
         u0 = w_wide * _predict(f.params.predictor, dt, d_n, v_n, a_n) + gw

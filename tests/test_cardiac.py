@@ -46,6 +46,51 @@ def test_cell_model_action_potential(model, stim, t_end, dt):
     assert abs(ap[-1] - mat.v_rest) < 0.15  # repolarized
 
 
+def test_tentusscher_action_potential():
+    """TP06 (ten Tusscher-Panfilov 2006, epi): resting potential, upstroke
+    amplitude and APD90 against the published values (ref capability:
+    4C_mat_myocard_tentusscher.*; model from Am J Physiol 291:H1088).
+    Uses the material-level Rush-Larsen integrator (the m-gate time
+    constant ~1 us at rest makes forward Euler unconditionally unstable
+    at any practical dt)."""
+    mat = make_material({"type": "myocard", "model": "tentusscher",
+                         "diff": 1e-3})
+    assert mat.n_gates == 18
+    dt = 0.02
+    V = jnp.asarray([mat.v_rest])
+    w = mat.w_rest()[None, :]
+    # resting stability over 50 ms
+    for _ in range(int(50 / dt)):
+        V, w = mat.ode_substep(V, w, dt, 0.0)
+    assert abs(float(V[0]) - mat.v_rest) < 0.5
+    # stimulated action potential: 52 pA/pF for 1 ms
+    hist = []
+    t = 0.0
+    import jax
+
+    @jax.jit
+    def stepper(carry, i):
+        V, w = carry
+        t = i * dt
+        stim = jnp.where((t >= 2.0) & (t < 3.0), 52.0, 0.0)
+        Vn, wn = mat.ode_substep(V, w, dt, stim)
+        return (Vn, wn), V[0]
+
+    (V, w), Vs = jax.lax.scan(stepper, (V, w), jnp.arange(int(500 / dt)))
+    Vs = np.asarray(Vs)
+    assert Vs.max() > 30.0  # overshoot ~ +40 mV
+    assert Vs[-1] < -80.0  # repolarized
+    v90 = Vs.max() - 0.9 * (Vs.max() - Vs[0])
+    above = np.where(Vs > v90)[0]
+    apd90 = (above[-1] - above[0]) * dt
+    # published TP06 epi APD90 ~ 301 ms; allow a 10% band
+    assert 270.0 < apd90 < 330.0, apd90
+    # ionic homeostasis: concentrations stay physiologic after the beat
+    gf = np.asarray(w[0])
+    assert 5.0 < gf[16] < 14.0  # Na_i (mM)
+    assert 120.0 < gf[17] < 150.0  # K_i (mM)
+
+
 def _cable_deck(diff, numstep=60):
     return dm.load(f"""
 problem: {{type: cardiac_monodomain}}

