@@ -346,3 +346,184 @@ def solve_poisson_cut3d(coords, conn, phi_nodes, g_dirichlet, source=0.0,
     res = cg(A, rhs, M=jacobi(jnp.where(diag != 0, diag, 1.0)),
              tol=tol, maxiter=20 * int(np.cbrt(n)) + 200)
     return np.asarray(res.x), cm
+
+
+# ---------------------------------------------------------------------------
+# mesh-mesh cut: background hex mesh x triangulated CUTTER SURFACE
+# (ref: src/cut 4C_cut_cutwizard.hpp:207-213 add_cutter_state(mc_idx,
+#  cutter_dis, ...) — the reference cuts against surface DISCRETIZATIONS,
+#  not only level-set fields; 4C_cut_selfcut.cpp resolves multi-surface
+#  overlaps.  TPU-native realization: the cutter surface is sampled into
+#  an exact signed-distance field at the background NODES (point-triangle
+#  distance + ray-parity sign), and the marching-tet machinery above
+#  produces the volume/interface quadrature.  The interface is the linear
+#  interpolant of that field — faithful to the true surface to O(h^2) of
+#  the background mesh; multi-surface cuts take the distance UNION (the
+#  selfcut analog for overlapping closed cutters).
+# ---------------------------------------------------------------------------
+
+
+def _point_tri_distance(P, A, B, C):
+    """Unsigned distance from points P (n, 3) to ONE triangle (A, B, C).
+    Fully vectorized closest-point: plane projection clamped to the
+    triangle via edge-segment distances when the projection is outside."""
+    n = np.cross(B - A, C - A)
+    nn = np.linalg.norm(n)
+    if nn < 1e-30:  # degenerate: fall back to edge distances only
+        return np.minimum(_point_seg_distance(P, A, B),
+                          _point_seg_distance(P, A, C))
+    n = n / nn
+    d_plane = (P - A) @ n
+    proj = P - d_plane[:, None] * n
+    # barycentric of the projection
+    v0, v1 = B - A, C - A
+    v2 = proj - A
+    d00, d01, d11 = v0 @ v0, v0 @ v1, v1 @ v1
+    d20, d21 = v2 @ v0, v2 @ v1
+    den = d00 * d11 - d01 * d01
+    v = (d11 * d20 - d01 * d21) / den
+    w = (d00 * d21 - d01 * d20) / den
+    inside = (v >= 0) & (w >= 0) & (v + w <= 1)
+    d_edges = np.minimum(
+        _point_seg_distance(P, A, B),
+        np.minimum(_point_seg_distance(P, B, C),
+                   _point_seg_distance(P, C, A)))
+    return np.where(inside, np.abs(d_plane), d_edges)
+
+
+def _point_seg_distance(P, A, B):
+    ab = B - A
+    t = np.clip(((P - A) @ ab) / max(float(ab @ ab), 1e-300), 0.0, 1.0)
+    closest = A[None, :] + t[:, None] * ab[None, :]
+    return np.linalg.norm(P - closest, axis=1)
+
+
+def _ray_parity(P, verts, tris, direction=(0.61803, 0.5137, 0.33511)):
+    """Odd crossing parity of a ray from each point -> point is INSIDE the
+    closed surface.  Moller-Trumbore, vectorized over points per triangle;
+    an irrational-ish direction avoids edge/vertex grazing."""
+    d = np.asarray(direction, float)
+    d = d / np.linalg.norm(d)
+    count = np.zeros(P.shape[0], np.int64)
+    V = verts
+    for (i0, i1, i2) in tris:
+        A, B, C = V[i0], V[i1], V[i2]
+        e1, e2 = B - A, C - A
+        pvec = np.cross(d, e2)
+        det = e1 @ pvec
+        if abs(det) < 1e-14:
+            continue
+        inv = 1.0 / det
+        tvec = P - A
+        u = (tvec @ pvec) * inv
+        qvec = np.cross(tvec, e1)
+        v = (qvec @ d) * inv
+        t = (qvec @ e2) * inv
+        hit = (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0)
+        count += hit
+    return (count % 2) == 1
+
+
+def signed_distance_to_surface(points, verts, tris):
+    """Signed distance from `points` (n, 3) to a CLOSED triangulated
+    surface (verts (V, 3), tris (T, 3) int): NEGATIVE inside the solid
+    the surface bounds, positive outside."""
+    P = np.asarray(points, float)
+    verts = np.asarray(verts, float)
+    tris = np.asarray(tris, int)
+    dist = np.full(P.shape[0], np.inf)
+    for (i0, i1, i2) in tris:
+        dist = np.minimum(dist, _point_tri_distance(
+            P, verts[i0], verts[i1], verts[i2]))
+    inside = _ray_parity(P, verts, tris)
+    return np.where(inside, -dist, dist)
+
+
+def cut_by_surfaces(coords, conn, surfaces):
+    """Cut a hex8 background mesh by one or more closed triangulated
+    cutter surfaces: Omega (the kept region, phi < 0) is the EXTERIOR of
+    the union of the cutter solids — the XFLUID convention (fluid outside
+    embedded structures).
+
+    surfaces: list of (verts (V,3), tris (T,3)).  Overlapping cutters are
+    resolved by the signed-distance union (min over surfaces) — the
+    selfcut-style multi-cutter treatment.  Returns (CutMesh3D, phi_nodes).
+    """
+    X = np.asarray(coords, float)
+    sdf = np.full(X.shape[0], np.inf)
+    for verts, tris in surfaces:
+        sdf = np.minimum(sdf, signed_distance_to_surface(X, verts, tris))
+    phi = -sdf  # solid interior -> phi > 0 (removed); fluid keeps phi < 0
+    return CutMesh3D(coords, conn, phi), phi
+
+
+def icosphere(center=(0.0, 0.0, 0.0), radius=1.0, subdiv=2):
+    """Closed triangulated sphere (icosahedron subdivision) — cutter-
+    surface generator for tests/decks."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], float)
+    tris = [(0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+            (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+            (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+            (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1)]
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    tris = [tuple(tr) for tr in tris]
+    for _ in range(subdiv):
+        cache = {}
+        new_tris = []
+
+        def mid(i, j):
+            key = (min(i, j), max(i, j))
+            if key not in cache:
+                m = verts[i] + verts[j]
+                m /= np.linalg.norm(m)
+                cache[key] = len(verts_list)
+                verts_list.append(m)
+            return cache[key]
+
+        verts_list = list(verts)
+        for (a, b, c) in tris:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_tris += [(a, ab, ca), (b, bc, ab), (c, ca, bc),
+                         (ab, bc, ca)]
+        verts = np.asarray(verts_list)
+        tris = new_tris
+    verts = np.asarray(center, float)[None, :] + radius * verts
+    return verts, np.asarray(tris, int)
+
+
+def box_surface(lo, hi, n=4):
+    """Closed triangulated axis-aligned box surface (n x n quads per face,
+    each split in two) — plate/wall cutter generator."""
+    lo = np.asarray(lo, float)
+    hi = np.asarray(hi, float)
+    verts, tris = [], []
+
+    def face(orig, du, dv, flip):
+        base = len(verts)
+        for i in range(n + 1):
+            for j in range(n + 1):
+                verts.append(orig + du * (i / n) + dv * (j / n))
+        for i in range(n):
+            for j in range(n):
+                a = base + i * (n + 1) + j
+                b, c, d = a + 1, a + (n + 1), a + (n + 2)
+                if flip:
+                    tris.extend([(a, c, b), (b, c, d)])
+                else:
+                    tris.extend([(a, b, c), (b, d, c)])
+
+    ex = np.array([hi[0] - lo[0], 0, 0])
+    ey = np.array([0, hi[1] - lo[1], 0])
+    ez = np.array([0, 0, hi[2] - lo[2]])
+    face(lo, ex, ey, flip=True)           # z = lo (normal -z)
+    face(lo + ez, ex, ey, flip=False)     # z = hi (+z)
+    face(lo, ex, ez, flip=False)          # y = lo (-y): check winding
+    face(lo + ey, ex, ez, flip=True)      # y = hi
+    face(lo, ey, ez, flip=True)           # x = lo
+    face(lo + ex, ey, ez, flip=False)     # x = hi
+    return np.asarray(verts), np.asarray(tris, int)

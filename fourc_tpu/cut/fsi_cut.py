@@ -85,3 +85,33 @@ def step_partitioned(coords, conn, phi_nodes, mu, u_wall,
     gamma = nitsche * mu / max(h, 1e-14)
     F = total_interface_force(cm, u, p, mu, u_wall, gamma)
     return u, p, cm, F
+
+
+def interface_traction3d(cm, u, p, mu, g_interface, gamma):
+    """3D analog of interface_traction for a CutMesh3D solve (hex8
+    background): trac = sigma(u, p) n - gamma (u - g) at the interface
+    quadrature points.  g_interface: callable (x, y, z) -> (3,)."""
+    from fourc_tpu.cut.cut3d import _hex_N, _hex_dN, _inv_map_hex
+
+    coords, conn = cm.coords, cm.conn
+    trac = np.zeros((len(cm.sif_wts), 3))
+    for q, (pq, e, nr) in enumerate(zip(cm.sif_pts, cm.sif_ele, cm.sif_nrm)):
+        ce = conn[e]
+        X = coords[ce]
+        xi = _inv_map_hex(X, pq)
+        Nv = _hex_N(xi)
+        dN = _hex_dN(xi)
+        G = dN @ np.linalg.inv(dN.T @ X).T  # (8, 3)
+        gradu = G.T @ u[ce]  # gradu[i, j] = du_j/dx_i
+        eps = 0.5 * (gradu + gradu.T)
+        sig = 2.0 * mu * eps - (Nv @ p[ce]) * np.eye(3)
+        uh = Nv @ u[ce]
+        g = np.asarray(g_interface(pq[0], pq[1], pq[2]), float)
+        trac[q] = sig @ nr - gamma * (uh - g)
+    return cm.sif_pts.copy(), cm.sif_wts.copy(), trac
+
+
+def total_interface_force3d(cm, u, p, mu, g_interface, gamma):
+    """Integrated fluid force ON the embedded structure (3D drag/lift)."""
+    _, w, t = interface_traction3d(cm, u, p, mu, g_interface, gamma)
+    return -(w[:, None] * t).sum(axis=0)

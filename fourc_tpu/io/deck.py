@@ -264,6 +264,11 @@ DECK_SPEC = {
             "timestep": param(float, 0.1),
             "numstep": param(int, 1),
             "nitsche": param(float, 20.0),
+            # 3D mesh-mesh cut: a MOVING triangulated cutter surface
+            # ({kind: plate, lo, hi, n} or {kind: sphere, center, radius,
+            # subdiv}) replaces the level-set funct (ref: CutWizard
+            # add_cutter_state — cutting against surface discretizations)
+            "cutter": param(dict, None, doc="3D cutter surface spec"),
         },
         doc="XFSI DYNAMIC (partitioned cut-FSI, embedded spring-mounted "
             "wall; ref src/fsi_xfem)",

@@ -173,13 +173,27 @@ def dem_forces_grid(x, v, radii, params, grid: GridHash, walls=(),
     return f, tau
 
 
+def _pair_diffs(x, idx):
+    """Per-component pairwise differences x_i - x_j as a LIST of (N, M)
+    planar arrays.
+
+    LAYOUT-CRITICAL: a gathered (N, M, 3) array tiles its minor dims
+    (M, 3) -> (M_pad, 128): the 3-lane minor axis pads 42x, which blew a
+    70k x 702-candidate dam break to a 25 GB intermediate (measured OOM).
+    Planar (N, M) arrays tile perfectly; each component is one scalar
+    gather."""
+    return [x[:, c][idx] for c in range(x.shape[1])], \
+        [x[:, c][:, None] for c in range(x.shape[1])]
+
+
 def sph_density_grid(x, masses, params, grid: GridHash):
     from fourc_tpu.particles.engine import cubic_spline_w
 
     d = x.shape[1]
     idx, valid = grid.neighbors(x)
-    diff = x[:, None, :] - x[idx]
-    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-30)
+    xj, xi = _pair_diffs(x, idx)
+    r2 = sum((a - b) ** 2 for a, b in zip(xi, xj))
+    r = jnp.sqrt(r2 + 1e-30)
     W = cubic_spline_w(r / params.h, params.h, d)
     # self-contribution W(0) added explicitly (candidates exclude self)
     W0 = cubic_spline_w(jnp.zeros(()), params.h, d)
@@ -194,27 +208,25 @@ def sph_accel_grid(x, v, masses, params, grid: GridHash):
     rho = sph_density_grid(x, masses, params, grid)
     p = sph_pressure(rho, params)
     idx, valid = grid.neighbors(x)
-    diff = x[:, None, :] - x[idx]
-    r = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-30)
+    xj, xi = _pair_diffs(x, idx)
+    diff = [a - b for a, b in zip(xi, xj)]  # list of (N, M)
+    r = jnp.sqrt(sum(c * c for c in diff) + 1e-30)
     dW = cubic_spline_dw(r / params.h, params.h, d)
-    gradW = dW[..., None] * diff / r[..., None]
     pij = p[:, None] / rho[:, None] ** 2 + (p / rho**2)[idx]
-    vij = v[:, None, :] - v[idx]
-    xv = jnp.sum(vij * diff, axis=-1)
+    vj, vi = _pair_diffs(v, idx)
+    xv = sum((a - b) * c for a, b, c in zip(vi, vj, diff))
     mu_ij = params.h * xv / (r**2 + 0.01 * params.h**2)
     rho_bar = 0.5 * (rho[:, None] + rho[idx])
     Pi = jnp.where(xv < 0, -params.alpha_visc * params.c0 * mu_ij / rho_bar, 0.0)
-    coeff = -masses[idx] * (pij + Pi)
-    a = jnp.sum(jnp.where(valid[..., None], coeff[..., None] * gradW, 0.0),
-                axis=1)
+    coeff = jnp.where(valid, -masses[idx] * (pij + Pi), 0.0) * dW / r
     if params.surface_tension:
         from fourc_tpu.particles.engine import cohesion_kernel
 
         C = cohesion_kernel(r, 2.0 * params.h)
         kfac = 2.0 * params.rho0 / (rho[:, None] + rho[idx])
-        fst = -params.surface_tension * (
-            masses[idx] * C * kfac)[..., None] * diff / r[..., None]
-        a = a + jnp.sum(jnp.where(valid[..., None], fst, 0.0), axis=1)
+        coeff = coeff + jnp.where(
+            valid, -params.surface_tension * masses[idx] * C * kfac / r, 0.0)
+    a = jnp.stack([jnp.sum(coeff * c, axis=1) for c in diff], axis=1)
     return a + jnp.asarray(params.gravity, x.dtype)[None, :], rho, p
 
 

@@ -47,16 +47,34 @@ def _coerce(d):
     return out
 
 
+def _one_box(gen):
+    lo = np.asarray(gen.get("lo", (0, 0, 0)), float)
+    hi = np.asarray(gen.get("hi", (1, 1, 1)), float)
+    n = np.asarray(gen.get("n", (2, 2, 2)), int)
+    axes = [np.linspace(lo[d], hi[d], int(n[d])) for d in range(len(n))]
+    grid = np.meshgrid(*axes, indexing="ij")
+    return np.stack([g.reshape(-1) for g in grid], axis=1)
+
+
 def _positions(psec):
+    """Particle cloud from the deck: explicit positions, one generator
+    box, or a LIST of generator boxes (each optionally `boundary: true` —
+    static wall particles, the SPH dam-break setup).  Returns
+    (positions, boundary_idx_or_None)."""
     gen = psec.get("generator")
+    if isinstance(gen, list):
+        parts, bidx, off = [], [], 0
+        for g in gen:
+            p = _one_box(g)
+            parts.append(p)
+            if g.get("boundary"):
+                bidx.extend(range(off, off + p.shape[0]))
+            off += p.shape[0]
+        return np.concatenate(parts, axis=0), (
+            np.asarray(bidx, int) if bidx else None)
     if gen:
-        lo = np.asarray(gen.get("lo", (0, 0, 0)), float)
-        hi = np.asarray(gen.get("hi", (1, 1, 1)), float)
-        n = np.asarray(gen.get("n", (2, 2, 2)), int)
-        axes = [np.linspace(lo[d], hi[d], int(n[d])) for d in range(len(n))]
-        grid = np.meshgrid(*axes, indexing="ij")
-        return np.stack([g.reshape(-1) for g in grid], axis=1)
-    return np.asarray(psec["positions"], float)
+        return _one_box(gen), None
+    return np.asarray(psec["positions"], float), None
 
 
 def run(deck, callbacks=None) -> drv.RunResult:
@@ -65,7 +83,7 @@ def run(deck, callbacks=None) -> drv.RunResult:
     timers = Timers()
     psec = dict(deck.sections.get("particles") or deck.raw.get("particles") or {})
     dyn = deck.sections["particle_dynamic"]
-    x0 = _positions(psec)
+    x0, gen_boundary = _positions(psec)
     n_p, dim = x0.shape
     masses = jnp.asarray(np.broadcast_to(
         np.asarray(psec.get("mass", 1.0), float), (n_p,)))
@@ -132,9 +150,12 @@ def run(deck, callbacks=None) -> drv.RunResult:
                 sp["gravity"] = tuple(sp["gravity"])
             params = pe.SphParams(**sp)
             boundary = None
-            if psec.get("boundary") is not None:
+            bsrc = psec.get("boundary")
+            if bsrc is None:
+                bsrc = gen_boundary
+            if bsrc is not None:
                 boundary = np.zeros(n_p, bool)
-                boundary[np.asarray(psec["boundary"], int)] = True
+                boundary[np.asarray(bsrc, int)] = True
             if _use_grid():
                 from fourc_tpu.particles.gridhash import make_sph_stepper_grid
 
