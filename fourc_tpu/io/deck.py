@@ -437,6 +437,10 @@ DECK_SPEC = {
             "timestep": param(float, 1e-2),
             "numstep": param(int, 1),
             "p_in_funct": param(int, 1, doc="trachea pressure P(t) FUNCT id"),
+            # generalized node BCs (ref: DESIGN NODE Reduced D AIRWAYS
+            # PRESCRIBED CONDITIONS — boundarycond flow|pressure VAL curve):
+            # [{node: i, type: pressure|flow, funct: id, val: scale}]
+            "bcs": param(list, None, doc="nodal pressure/flow conditions"),
         },
         doc="REDUCED DIMENSIONAL AIRWAYS DYNAMIC",
     ),
@@ -571,6 +575,34 @@ def load(src) -> Deck:
     )
 
 
+def _general_topology(d, jitter, permute):
+    """In place: jitter interior node coords and/or renumber nodes with a
+    deterministic random permutation (kills lattice detection)."""
+    X = np.array(d.coords)
+    rng = np.random.RandomState(0)
+    if jitter:
+        lo, hi = X.min(axis=0), X.max(axis=0)
+        interior = np.all((X > lo + 1e-12) & (X < hi - 1e-12), axis=1)
+        n_eff = max(1, round(d.n_elements ** (1.0 / d.dim)))
+        h = (hi - lo) / n_eff
+        X[interior] += (rng.rand(int(interior.sum()), X.shape[1]) - 0.5) \
+            * (jitter * h)
+    d.coords = X
+    d.structured_shape = None
+    if permute:
+        perm = rng.permutation(d.n_nodes).astype(np.int32)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(d.n_nodes, dtype=np.int32)
+        d.coords = np.array(d.coords)[perm]
+        for blk in d.blocks.values():
+            blk.conn = inv[blk.conn]
+        for nm in d.node_sets:
+            d.node_sets[nm] = inv[d.node_sets[nm]]
+        for fbs in d.face_sets.values():
+            for fb in fbs:
+                fb.conn = inv[fb.conn]
+
+
 def _build_geometry(geo: dict, cfg) -> dict:
     """geometry section -> {disc_name: Discretization}.
 
@@ -588,11 +620,20 @@ def _build_geometry(geo: dict, cfg) -> dict:
             name = g.pop("name", "structure")
             mat = g.pop("mat", 1)
             if kind == "box":
+                jitter = float(g.pop("jitter", 0.0))
+                permute = bool(g.pop("permute", False))
                 d = gridgen.box(
                     int(g.pop("nx")), int(g.pop("ny")), int(g.pop("nz")),
                     lo=tuple(g.pop("lo", (0, 0, 0))), hi=tuple(g.pop("hi", (1, 1, 1))),
                     cell=g.pop("cell", "hex8"), name=name, mat_id=mat,
                 )
+                if jitter or permute:
+                    # deterministic general-topology deck variants: jitter
+                    # interior coords (xjitter of the element size) and/or
+                    # randomly renumber the nodes so no lattice structure
+                    # survives — the flat gather/scatter + SA-AMG path any
+                    # externally-read mesh takes
+                    _general_topology(d, jitter, permute)
             elif kind == "line":
                 d = gridgen.line(
                     int(g.pop("n")), p0=tuple(g.pop("p0", (0, 0, 0))),

@@ -466,6 +466,14 @@ def _stress_pk2(material, Egl, history, dt, temps=None):
 
 def _stress_small(material, eps, history, dt, temps=None):
     """eps: (3, 3, M) -> (sigma (3, 3, M), history')."""
+    # field-coupled stress (thermal strain etc.): for SVK-type coupled
+    # materials the small-strain stress IS pk2_from_E at E = eps — without
+    # this route the linear-kinematics path silently DROPPED the coupling
+    # (measured: a kinem=linear TSI bar produced d = 0 identically)
+    if (getattr(material, "kind", "solid") in ("thermo_solid",
+                                               "scatra_solid", "poro_solid")
+            and temps is not None):
+        return material.pk2_from_E(eps, temps), None
     if history is not None:
         fn = material.evaluate_small
         if temps is not None and getattr(material, "needs_temp", False):

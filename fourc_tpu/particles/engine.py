@@ -35,6 +35,12 @@ class DemParams:
 
     k_normal: float = 1e4  # normal spring stiffness
     damp_normal: float = 0.0  # normal dashpot coefficient
+    # normal contact law (ref NORMALCONTACTLAW,
+    # 4C_particle_interaction_dem_contact_normal.cpp): "linear" spring,
+    # "hertz" k*ov^1.5, "leeherrmann" + m_eff*d*vrel, "kuwabarakono"
+    # + d*vrel*sqrt(ov), "tsuji" + d*vrel*ov^0.25
+    normal_law: str = "linear"
+    normal_damp: float = 0.0  # the nonlinear laws' NORMAL_DAMP
     # NormalLinearSpringDamp (ref: 4C_particle_interaction_dem_contact_
     # normal.cpp:99-134): damping derived from the restitution coefficient,
     # d = 2|ln e| sqrt(k m_eff/(ln^2 e + pi^2)) (e = 0 -> 2 sqrt(k m_eff)),
@@ -65,6 +71,31 @@ def _damp_normal_fac(params):
     return 2.0 * np.sqrt(params.k_normal)
 
 
+def _normal_law_force(params, overlap, vn, ri, rj, masses_ij):
+    """Repulsive normal force magnitude by NORMALCONTACTLAW (see
+    DemParams.normal_law); vn = (v_i - v_j)·n with n pointing j -> i
+    (negative on approach)."""
+    law = getattr(params, "normal_law", "linear")
+    if law == "linear":
+        return params.k_normal * overlap - params.damp_normal * vn
+    ov = jnp.maximum(overlap, 0.0)
+    f = params.k_normal * ov * jnp.sqrt(ov)
+    d = params.normal_damp
+    if law == "hertz" or not d:
+        return f
+    if law == "leeherrmann":
+        if masses_ij is None:
+            raise ValueError("leeherrmann law needs particle masses")
+        mi, mj = masses_ij
+        m_eff = mi * mj / jnp.maximum(mi + mj, 1e-300)
+        return f - m_eff * d * vn
+    if law == "kuwabarakono":
+        return f - d * vn * jnp.sqrt(ov)
+    if law == "tsuji":
+        return f - d * vn * jnp.sqrt(jnp.sqrt(ov))
+    raise ValueError(f"unknown normal_law {law!r}")
+
+
 def dem_forces(x, v, radii, params: DemParams, walls=(), omega=None,
                masses=None):
     """Pairwise contact forces (N, d) and torques (N, 3) — spring-dashpot
@@ -86,7 +117,10 @@ def dem_forces(x, v, radii, params: DemParams, walls=(), omega=None,
     n = diff / dist[..., None]
     vrel = v[:, None, :] - v[None, :, :]
     vn = jnp.sum(vrel * n, axis=-1)
-    fn = params.k_normal * overlap - params.damp_normal * vn
+    fn = _normal_law_force(params, overlap, vn, radii[:, None],
+                           radii[None, :],
+                           None if masses is None else
+                           (masses[:, None], masses[None, :]))
     if params.restitution >= 0.0 and masses is not None:
         m_eff = (masses[:, None] * masses[None, :]) / jnp.maximum(
             masses[:, None] + masses[None, :], 1e-300)

@@ -115,7 +115,11 @@ def dem_forces_grid(x, v, radii, params, grid: GridHash, walls=(),
     n = diff / dist[..., None]
     vrel = v[:, None, :] - vj
     vn = jnp.sum(vrel * n, axis=-1)
-    fn = params.k_normal * overlap - params.damp_normal * vn
+    from fourc_tpu.particles.engine import _normal_law_force
+
+    fn = _normal_law_force(params, overlap, vn, radii[:, None], rj,
+                           None if masses is None else
+                           (masses[:, None], masses[idx]))
     if params.restitution >= 0.0 and masses is not None:
         from fourc_tpu.particles.engine import _damp_normal_fac
 

@@ -81,11 +81,17 @@ class Acinus(Material):
     kind = "acinus"
 
     def __init__(self, compliance=0.0, resistance=0.0, stiffness=0.0,
-                 eta=0.0):
+                 eta=0.0, two_node=False):
         self.compliance = float(compliance)
         self.r_a = float(resistance)
         self.stiffness = float(stiffness)
         self.eta = float(eta)
+        # two_node: the compliance acts ACROSS the element (the
+        # reference's MAT_0D_MAXWELL_ACINUS_NEOHOOKEAN element equation
+        # NumOfAcini/(Stiffness1 dt) * (dp_np - dp_n) = Q,
+        # ref: 4C_mat_maxwell_0d_acinus_NeoHookean.cpp:137-150), not as a
+        # grounded capacitor at the alveolar node
+        self.two_node = bool(two_node)
 
     @classmethod
     def from_deck(cls, params):
@@ -109,6 +115,7 @@ def run(deck, callbacks=None) -> drv.RunResult:
         aw_pedley = []  # (gamma * sqrt(2 rho /(pi r mu) * 2r/L), 0 = linear)
         ac_node, ac_C, ac_R = [], [], []
         ac_E, ac_eta = [], []
+        ac2_edges, ac2_C = [], []  # two-node compliance elements
         for key, blk in disc.blocks.items():
             conn = np.asarray(blk.conn)
             mat_id = np.asarray(blk.mat_id)
@@ -125,41 +132,74 @@ def run(deck, callbacks=None) -> drv.RunResult:
                             / (np.pi * m.radius * m.viscosity * L[e])))
                     else:
                         aw_pedley.append(0.0)
+                elif getattr(m, "two_node", False):
+                    # compliance ACROSS the element (the reference's
+                    # Maxwell0dAcinusNeoHookean element equation)
+                    ac2_edges.append(conn[e])
+                    ac2_C.append(m.compliance)
                 else:  # acinus: attaches the alveolar node conn[e,1]
                     ac_node.append(conn[e])
                     ac_C.append(m.compliance)
                     ac_R.append(m.r_a)
                     ac_E.append(m.stiffness)
                     ac_eta.append(m.eta)
-        aw_edges = jnp.asarray(np.array(aw_edges, np.int32))
+        aw_edges = jnp.asarray(np.array(aw_edges, np.int32).reshape(-1, 2))
         aw_g = jnp.asarray(np.array(aw_g))
         aw_pedley = jnp.asarray(np.array(aw_pedley))
         has_pedley = bool(np.any(np.array(aw_pedley) > 0))
-        ac_node = jnp.asarray(np.array(ac_node, np.int32))  # (na, 2)
+        ac_node = jnp.asarray(np.array(ac_node, np.int32).reshape(-1, 2))
         ac_C = jnp.asarray(np.array(ac_C))
         ac_R = jnp.asarray(np.array(ac_R))
         ac_E = jnp.asarray(np.array(ac_E))
         ac_eta = jnp.asarray(np.array(ac_eta))
         ve = jnp.asarray(np.array(ac_E) > 0)  # viscoelastic terminal units
-        # acinus branch conductance: series R_a with the C/dt "resistance"
-        trachea = int(np.asarray(disc.node_sets["start"])[0])
-        p_fn = deck.functions.get(int(dyn["p_in_funct"]))
+        ac2_edges = jnp.asarray(np.array(ac2_edges, np.int32).reshape(-1, 2))
+        ac2_Cdt = jnp.asarray(np.array(ac2_C)) / dt
+        # generalized nodal BCs (ref: DESIGN NODE Reduced D AIRWAYS
+        # PRESCRIBED CONDITIONS): pressure pins + flow sources; legacy
+        # decks fall back to p_in_funct at the 'start' node
+        p_nodes, p_fns, q_nodes, q_fns = [], [], [], []
+        for bc in (dyn.get("bcs") or ()):
+            node = bc["node"]
+            if isinstance(node, str):
+                node = int(np.asarray(disc.node_sets[node])[0])
+            fn = deck.functions.get(int(bc.get("funct", 1)))
+            sc = float(bc.get("val", 1.0))
+            if str(bc["type"]).lower() == "pressure":
+                p_nodes.append(int(node))
+                p_fns.append((fn, sc))
+            else:
+                q_nodes.append(int(node))
+                q_fns.append((fn, sc))
+        if not p_nodes:
+            p_nodes = [int(np.asarray(disc.node_sets["start"])[0])]
+            p_fns = [(deck.functions.get(int(dyn["p_in_funct"])), 1.0)]
+        trachea = p_nodes[0]
+        p_nodes_j = jnp.asarray(np.asarray(p_nodes, np.int32))
+        q_nodes_j = jnp.asarray(np.asarray(q_nodes, np.int32))
 
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     P = jnp.zeros((n,), dtype)
     state = {"P": P, "V": jnp.zeros(ac_node.shape[:1], dtype),
              "t": jnp.asarray(0.0, dtype), "step": jnp.asarray(0)}
-    free = jnp.ones((n,), bool).at[trachea].set(False)
+    free = jnp.ones((n,), bool).at[p_nodes_j].set(False)
 
     def laplacian(p, g_ac, g_aw):
-        """Weighted graph Laplacian action (airways + acinar branches)."""
-        dp = p[aw_edges[:, 0]] - p[aw_edges[:, 1]]
+        """Weighted graph Laplacian action (airways + acinar branches +
+        two-node compliance edges with conductance C/dt)."""
         y = jnp.zeros_like(p)
-        y = y.at[aw_edges[:, 0]].add(g_aw * dp)
-        y = y.at[aw_edges[:, 1]].add(-g_aw * dp)
-        dpa = p[ac_node[:, 0]] - p[ac_node[:, 1]]
-        y = y.at[ac_node[:, 0]].add(g_ac * dpa)
-        y = y.at[ac_node[:, 1]].add(-g_ac * dpa)
+        if aw_edges.shape[0]:
+            dp = p[aw_edges[:, 0]] - p[aw_edges[:, 1]]
+            y = y.at[aw_edges[:, 0]].add(g_aw * dp)
+            y = y.at[aw_edges[:, 1]].add(-g_aw * dp)
+        if ac_node.shape[0]:
+            dpa = p[ac_node[:, 0]] - p[ac_node[:, 1]]
+            y = y.at[ac_node[:, 0]].add(g_ac * dpa)
+            y = y.at[ac_node[:, 1]].add(-g_ac * dpa)
+        if ac2_edges.shape[0]:
+            dp2 = p[ac2_edges[:, 0]] - p[ac2_edges[:, 1]]
+            y = y.at[ac2_edges[:, 0]].add(ac2_Cdt * dp2)
+            y = y.at[ac2_edges[:, 1]].add(-ac2_Cdt * dp2)
         return y
 
     n_picard = 4 if has_pedley else 1
@@ -183,10 +223,26 @@ def run(deck, callbacks=None) -> drv.RunResult:
         dcoef = jnp.where(ve, g_kv, ac_C / dt)
         rcoef = jnp.where(ve, g_kv * ac_E * V0,
                           ac_C / dt * P0[ac_node[:, 1]])
-        cdiag = jnp.zeros((n,), P0.dtype).at[ac_node[:, 1]].add(dcoef)
-        rhs = jnp.zeros((n,), P0.dtype).at[ac_node[:, 1]].add(rcoef)
-        p_in = p_fn(jnp.zeros((3,), dtype), t1, component=0)
-        pbc = jnp.zeros((n,), dtype).at[trachea].set(p_in)
+        cdiag = jnp.zeros((n,), P0.dtype)
+        rhs = jnp.zeros((n,), P0.dtype)
+        if ac_node.shape[0]:
+            cdiag = cdiag.at[ac_node[:, 1]].add(dcoef)
+            rhs = rhs.at[ac_node[:, 1]].add(rcoef)
+        if ac2_edges.shape[0]:
+            # history charge of the two-node capacitor: (C/dt) dp_n flows
+            # as a source on both ends (backward Euler on Q = C d(dp)/dt)
+            dp_n = P0[ac2_edges[:, 0]] - P0[ac2_edges[:, 1]]
+            rhs = rhs.at[ac2_edges[:, 0]].add(ac2_Cdt * dp_n)
+            rhs = rhs.at[ac2_edges[:, 1]].add(-ac2_Cdt * dp_n)
+        # prescribed inflows Q(t1)
+        for qi, (fn, sc) in zip(q_nodes, q_fns):
+            rhs = rhs.at[qi].add(sc * fn(jnp.zeros((3,), dtype), t1,
+                                         component=0))
+        pbc = jnp.zeros((n,), dtype)
+        for pi, (fn, sc) in zip(p_nodes, p_fns):
+            pbc = pbc.at[pi].set(sc * fn(jnp.zeros((3,), dtype), t1,
+                                         component=0))
+        p_in = pbc[trachea]
 
         def solve(g_aw, P_guess):
             def A(p):
@@ -194,9 +250,9 @@ def run(deck, callbacks=None) -> drv.RunResult:
                 y = laplacian(pm, g_ac, g_aw) + cdiag * pm
                 return jnp.where(free, y, p)
 
-            b = jnp.where(free, rhs - laplacian(pbc, g_ac, g_aw), p_in)
+            b = jnp.where(free, rhs - laplacian(pbc, g_ac, g_aw), pbc)
             res = ls.cg(A, b, tol=1e-12, maxiter=1000, x0=P_guess)
-            return jnp.where(free, res.x, p_in), res
+            return jnp.where(free, res.x, pbc), res
 
         # Picard on the Pedley flow-dependent resistances (linear case:
         # one pass, g_aw = aw_g)

@@ -194,8 +194,25 @@ def make_step(f: TsiField, dt: float):
         d, T = state["d"], state["T"]
         tot_newton, tot_lin = 0, 0
         converged = True
+        # Aitken Delta^2 relaxation on the temperature iterate: the
+        # staggered thermo<->structure fixed point can have gain > 1
+        # (measured 1.8x growth/iteration on the heated-bar deck through
+        # the thermoelastic-heating backcoupling) — the reference's
+        # TSI::Partitioned stabilizes the same loop with relaxation
+        # (ref: 4C_tsi_partitioned.cpp Aitken/fixed relaxation options)
+        omega = 1.0
+        r_prev = None
         for it in range(1 if oneway else f.params.itemax_outer):
-            T_new, stat_t = solve_thermo(state, d)
+            T_solved, stat_t = solve_thermo(state, d)
+            r = T_solved - T
+            if not oneway and r_prev is not None:
+                dr = r - r_prev
+                denom = float(jnp.vdot(dr, dr))
+                if denom > 0.0:
+                    omega = -omega * float(jnp.vdot(r_prev, dr)) / denom
+                    omega = min(max(omega, 0.05), 1.0)
+            T_new = T + omega * r
+            r_prev = r
             d_new, stat_s = solve_structure(state, T_new)
             tot_newton += int(stat_t["iters"]) + int(stat_s["iters"])
             tot_lin += int(stat_t["lin_iters"]) + int(stat_s["lin_iters"])
