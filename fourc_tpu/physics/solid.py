@@ -614,7 +614,11 @@ class SolidField:
             free = np.asarray(self.dbc.free_mask)
             D = sp.diags(free.astype(np.float64))
             A0 = (D @ A0 @ D + sp.diags((~free).astype(np.float64))).tocsr()
-            M = SmoothedAggregationAMG(A0, self.ndpn, self.dbc.free_mask)
+            import os as _os
+
+            M = SmoothedAggregationAMG(
+                A0, self.ndpn, self.dbc.free_mask,
+                cheby_degree=int(_os.environ.get("FOURC_AMG_CHEBY", "3")))
             if hasattr(self, "hoister"):
                 # ELL tables are hundreds of MB at 1M dofs — pass them as
                 # runtime inputs, never HLO literals (see utils/hoist.py)
