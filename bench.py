@@ -31,6 +31,11 @@ import time
 
 def main():
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # the axon TPU plugin pre-registers itself (sitecustomize), so the
+        # JAX_PLATFORMS env var alone cannot pin a backend — config wins
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import numpy as np
 
     # persistent XLA compilation cache: the 1.17M-dof fused step program
@@ -126,12 +131,19 @@ def main():
     # f64 semantics and is reached when run with x64)
     # absolute floor: the measured f32 roundoff floor of this residual is
     # ~1.2e-2 at 15k dofs and scales ~sqrt(ndof) (x64 runs use 1e-8 abs)
-    params.newton.tol_res = (
-        1e-8 if jax.config.jax_enable_x64 else 1.5e-4 * ndof**0.5
-    )
-    params.newton.tol_res_rel = 1e-4
-    params.newton.tol_disp = 1e-7 * ndof**0.5
-    params.newton.combine = "or"
+    if jax.config.jax_enable_x64:
+        # North-Star semantics: Newton converges on the RESIDUAL alone to
+        # 1e-8 absolute (the increment test is disabled so it cannot
+        # short-circuit the claim)
+        params.newton.tol_res = 1e-8
+        params.newton.tol_res_rel = 0.0
+        params.newton.tol_disp = 1e30
+        params.newton.combine = "and"
+    else:
+        params.newton.tol_res = 1.5e-4 * ndof**0.5
+        params.newton.tol_res_rel = 1e-4
+        params.newton.tol_disp = 1e-7 * ndof**0.5
+        params.newton.combine = "or"
     params.newton.max_iter = int(os.environ.get("BENCH_MAXIT", "12"))
     params.newton.stag_tol = 0.5  # stop at the f32 roundoff floor
     # accept the f32 floor only after a >=100x residual drop within the
@@ -263,10 +275,16 @@ def _run_variants(flagship_n):
         "permuted_500k": {"BENCH_MESH": "permuted", "BENCH_N": "56",
                           "BENCH_STEPS": "5"},
         # f64 North-Star semantics: Newton to tol_res 1e-8 absolute.
-        # Mosaic has no f64 kernels -> flat gather/scatter path + SA-AMG
-        "f64_northstar": {"JAX_ENABLE_X64": "1", "BENCH_N": "48",
-                          "BENCH_STEPS": "3", "BENCH_WIDE": "0",
-                          "FOURC_LATTICE": "0", "BENCH_PRECOND": "amg"},
+        # Runs on CPU: Mosaic has no f64 kernels, and with the XLA-path
+        # fallback in place the axon TPU WORKER still crashes with a
+        # kernel fault executing the f64 step (reproduced twice in
+        # isolation; small f64 probes run fine) — a platform limitation,
+        # recorded here rather than hidden. The converged 1e-8 run is
+        # what this variant documents.
+        "f64_northstar": {"JAX_ENABLE_X64": "1", "BENCH_PLATFORM": "cpu",
+                          "BENCH_N": "16", "BENCH_STEPS": "2",
+                          "BENCH_WIDE": "0", "FOURC_LATTICE": "0",
+                          "BENCH_PRECOND": "amg"},
         # widened fast path: Rayleigh damping + lumped mass in the wide
         # lattice kernels at flagship size
         "rayleigh_wide": {"BENCH_RAYLEIGH": "1",
