@@ -17,19 +17,38 @@ from fourc_tpu.materials.base import Material, register_material
 @dataclass
 class ScatraMat(Material):
     """Linear diffusion + optional linear reaction: d phi/dt + u.grad phi
-    = div(D grad phi) - reacoeff * phi."""
+    = div(D grad phi) - reacoeff * phi.
+
+    diffusivity may be a SCALAR or a principal-value list [d1, d2(, d3)]
+    with `diff_angle` rotating the principal frame in the xy-plane —
+    anisotropic conduction (ref: the scatra_ele anisotropic diffusion
+    manager, src/scatra_ele/4C_scatra_ele_calc.cpp diffusion tensor; used
+    e.g. for fiber-aligned cardiac conduction)."""
 
     kind = "scatra"
-    diffusivity: float
+    diffusivity: object
     reacoeff: float = 0.0
     density: float = 1.0
     # storage scaling of d phi/dt — porosity for transport through porous
     # media (poroelast_scatra; ref src/scatra_ele poro variants pull this
     # from the coupled poro material)
     capacity: float = 1.0
+    diff_angle: float = 0.0  # principal-frame rotation (xy-plane, rad)
 
     def diff(self, phi=None):
-        return self.diffusivity
+        if isinstance(self.diffusivity, (list, tuple)):
+            import numpy as np
+
+            d = [float(v) for v in self.diffusivity]
+            dim = len(d)
+            D = np.diag(d)
+            if self.diff_angle:
+                c, s = np.cos(self.diff_angle), np.sin(self.diff_angle)
+                R = np.eye(dim)
+                R[0, 0], R[0, 1], R[1, 0], R[1, 1] = c, -s, s, c
+                D = R @ D @ R.T
+            return jnp.asarray(D)
+        return float(self.diffusivity)
 
     def reaction(self, phi):
         return self.reacoeff * phi

@@ -118,14 +118,21 @@ def residual(
     if source_gp is not None:
         R = R - source_gp
 
-    # Galerkin: w * R + D grad w . grad phi
+    # Galerkin: w * R + grad w . D grad phi (D scalar or a (d, d)
+    # anisotropic conductivity tensor, ref: scatra_ele diffusion manager)
     f = jnp.einsum("eg,ga,eg->ea", wdet, N, R)
-    f = f + diff * jnp.einsum("eg,egad,egd->ea", wdet, G, gphi)
+    if hasattr(diff, "ndim") and getattr(diff, "ndim", 0) == 2:
+        Dg = jnp.einsum("dc,egc->egd", diff, gphi)
+        f = f + jnp.einsum("eg,egad,egd->ea", wdet, G, Dg)
+        diff_tau = jnp.trace(diff) / diff.shape[0]  # SUPG effective D
+    else:
+        f = f + diff * jnp.einsum("eg,egad,egd->ea", wdet, G, gphi)
+        diff_tau = diff
 
     # SUPG
     if vel_gp is not None and tau_kind not in ("zero", "none"):
         h = char_length(vel_gp, G, wdet, Xe.shape[-1])
-        tau = calc_tau(vel_gp, diff, rhoc, h, dt, kind=tau_kind)
+        tau = calc_tau(vel_gp, diff_tau, rhoc, h, dt, kind=tau_kind)
         ugw = jnp.einsum("egd,egad->ega", vel_gp, G)  # u . grad w
         f = f + rhoc * jnp.einsum("eg,eg,ega,eg->ea", wdet, tau, ugw, R)
     return f

@@ -247,7 +247,11 @@ class ScalarField:
             diff, rhoc, _ = self._mat_props(key)
             G, detJ = gm.iso_gradients(self.block_X[key], cell.dN)
             wdet = gm.weighted(detJ, cell.gauss_weights)
-            kdiag = diff * jnp.einsum("eg,egad,egad->ea", wdet, G, G)
+            if hasattr(diff, "ndim") and getattr(diff, "ndim", 0) == 2:
+                dscal = jnp.trace(diff) / diff.shape[0]
+            else:
+                dscal = diff
+            kdiag = dscal * jnp.einsum("eg,egad,egad->ea", wdet, G, G)
             if dt_factor:
                 kdiag = kdiag + dt_factor * ops.capacity_lumped(
                     self.block_X[key], cell, rhoc
