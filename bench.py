@@ -47,6 +47,9 @@ def main():
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        # persist the SA-AMG hierarchy too: the host-side setup at 555k
+        # dofs costs ~45 min on this 1-core host and is deterministic
+        os.environ.setdefault("FOURC_AMG_CACHE", cache)
     except Exception:
         pass
 

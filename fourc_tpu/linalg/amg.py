@@ -221,3 +221,58 @@ class SmoothedAggregationAMG:
 
     def __call__(self, r):
         return self._vcycle(0, r.astype(jnp.float32)).astype(r.dtype)
+
+
+# -- disk persistence (driver-bench robustness: the host-side hierarchy
+# build at 555k dofs costs ~45 min on a 1-core host and is deterministic
+# for a given mesh + mass shift; the reference's analog is MueLu
+# preconditioner reuse across solves) --------------------------------------
+
+
+def save_amg(M: "SmoothedAggregationAMG", path):
+    """Serialize the V-cycle data (ELL levels + coarse factor) to npz."""
+    import numpy as np
+
+    data = {"n_levels": np.asarray(len(M.levels)),
+            "coarse_inv": np.asarray(M._coarse_inv),
+            "cheby_degree": np.asarray(M.cheby_degree),
+            "n_smooth": np.asarray(M.n_smooth),
+            "ndpn": np.asarray(M.ndpn)}
+    for i, lev in enumerate(M.levels):
+        data[f"l{i}_dinv"] = np.asarray(lev["dinv"])
+        data[f"l{i}_lmax"] = np.asarray(lev["lmax"])
+        for nm in ("A", "P", "R"):
+            op = lev[nm]
+            if op is None:
+                continue
+            data[f"l{i}_{nm}_nbr"] = np.asarray(op.nbr)
+            data[f"l{i}_{nm}_blk"] = np.asarray(op.blk)
+            data[f"l{i}_{nm}_ncols"] = np.asarray(op.n_cols)
+    np.savez_compressed(path, **data)
+
+
+def load_amg(path):
+    """Inverse of save_amg; returns a ready SmoothedAggregationAMG."""
+    import numpy as np
+
+    z = np.load(path)
+    M = SmoothedAggregationAMG.__new__(SmoothedAggregationAMG)
+    M.ndpn = int(z["ndpn"])
+    M.cheby_degree = int(z["cheby_degree"])
+    M.n_smooth = int(z["n_smooth"])
+    M._coarse_inv = jnp.asarray(z["coarse_inv"])
+    M.levels = []
+    for i in range(int(z["n_levels"])):
+        lev = {"dinv": jnp.asarray(z[f"l{i}_dinv"]),
+               "lmax": float(z[f"l{i}_lmax"]), "P": None, "R": None}
+        for nm in ("A", "P", "R"):
+            if f"l{i}_{nm}_nbr" not in z:
+                continue
+            op = _BlockELL.__new__(_BlockELL)
+            op.ndpn = M.ndpn
+            op.n_cols = int(z[f"l{i}_{nm}_ncols"])
+            op.nbr = jnp.asarray(z[f"l{i}_{nm}_nbr"])
+            op.blk = jnp.asarray(z[f"l{i}_{nm}_blk"])
+            lev[nm] = op
+        M.levels.append(lev)
+    return M

@@ -573,6 +573,32 @@ class SolidField:
         preconditioner reuse)."""
         key_ = (round(float(mass_shift), 10),)
         cache = getattr(self, "_amg_cache", {})
+        # optional DISK cache (FOURC_AMG_CACHE=dir): the host hierarchy
+        # build is deterministic in (mesh, materials, mass_shift) and
+        # costs ~45 min at 555k dofs on a 1-core host — bench reruns load
+        # it in seconds (the MueLu-reuse analog, persisted)
+        import os as _os
+
+        cdir = _os.environ.get("FOURC_AMG_CACHE", "")
+        cpath = None
+        if cdir and key_ not in cache:
+            import hashlib
+
+            from fourc_tpu.linalg import amg as _amgmod
+
+            h = hashlib.sha1()
+            for k2 in sorted(self.dofmap.blocks):
+                h.update(np.asarray(self.dofmap.blocks[k2].conn).tobytes())
+                m2 = self.block_mat[k2]
+                h.update(f"{m2.youngs}:{m2.nue}:{self._density[k2]}".encode())
+            h.update(np.asarray(self.disc.coords).astype(np.float32).tobytes())
+            h.update(f"{key_[0]}:{_os.environ.get('FOURC_AMG_CHEBY', '3')}"
+                     .encode())
+            _os.makedirs(cdir, exist_ok=True)
+            cpath = _os.path.join(cdir, f"amg_{h.hexdigest()[:16]}.npz")
+            if _os.path.exists(cpath):
+                cache[key_] = _amgmod.load_amg(cpath)
+                self._amg_cache = cache
         if key_ not in cache:
             import scipy.sparse as sp
 
@@ -631,6 +657,10 @@ class SolidField:
                 self.hoister.register_attr(M, "_coarse_inv")
             cache[key_] = M
             self._amg_cache = cache
+            if cpath is not None:
+                from fourc_tpu.linalg import amg as _amgmod
+
+                _amgmod.save_amg(M, cpath)
         return cache[key_]
 
     def build_preconditioner(self, u, history=None, dt=None, mass_shift=0.0):
