@@ -295,7 +295,13 @@ def _run_variants(flagship_n):
     }
     here = os.path.abspath(__file__)
     out = {}
+    budget = float(os.environ.get("BENCH_VARIANTS_BUDGET", "7200"))
+    t_start = time.perf_counter()
     for name, envup in specs.items():
+        if time.perf_counter() - t_start > budget:
+            out[name] = {"error": "skipped: variants wall-clock budget "
+                                  f"({budget:.0f}s) exhausted"}
+            continue
         env = dict(os.environ)
         env.update(envup)
         env["BENCH_VARIANTS"] = "0"
