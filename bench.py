@@ -271,9 +271,12 @@ def _run_variants(flagship_n):
         return {}  # an explicitly-configured run benchmarks only itself
     specs = {
         # jittered box at flagship size: general-geometry wide kernels +
-        # exact-geometry GMG (round-4 path, now driver-recorded)
+        # exact-geometry GMG (round-4 path, now driver-recorded).  The
+        # in-kernel-jacobian compile is the slowest program in the suite
+        # (> 45 min cold on a degraded chip) — give it its own timeout
         "unstructured_1M": {"BENCH_MESH": "unstructured",
-                            "BENCH_N": str(flagship_n), "BENCH_STEPS": "5"},
+                            "BENCH_N": str(flagship_n), "BENCH_STEPS": "5",
+                            "_timeout": "5400"},
         # genuinely general topology >= 500k dofs: flat path + SA-AMG
         "permuted_500k": {"BENCH_MESH": "permuted", "BENCH_N": "56",
                           "BENCH_STEPS": "5"},
@@ -289,9 +292,11 @@ def _run_variants(flagship_n):
                           "BENCH_WIDE": "0", "FOURC_LATTICE": "0",
                           "BENCH_PRECOND": "amg"},
         # widened fast path: Rayleigh damping + lumped mass in the wide
-        # lattice kernels at flagship size
-        "rayleigh_wide": {"BENCH_RAYLEIGH": "1",
-                          "BENCH_N": str(flagship_n), "BENCH_STEPS": "5"},
+        # lattice kernels.  n = 48: the XLA-reference-stencil damping term
+        # at n = 72 hits a 56x tile-padding blowup (777 MB of padding in
+        # one fusion) — a known small-minor-dim layout hazard
+        "rayleigh_wide": {"BENCH_RAYLEIGH": "1", "BENCH_N": "48",
+                          "BENCH_STEPS": "5"},
     }
     here = os.path.abspath(__file__)
     out = {}
@@ -304,13 +309,14 @@ def _run_variants(flagship_n):
             continue
         env = dict(os.environ)
         env.update(envup)
+        vtimeout = float(env.pop("_timeout", os.environ.get(
+            "BENCH_VARIANT_TIMEOUT", "3600")))
         env["BENCH_VARIANTS"] = "0"
         try:
             t0 = time.perf_counter()
             proc = subprocess.run(
                 [sys.executable, here], env=env, capture_output=True,
-                text=True, timeout=float(os.environ.get(
-                    "BENCH_VARIANT_TIMEOUT", "3600")))
+                text=True, timeout=vtimeout)
             line = [ln for ln in proc.stdout.strip().splitlines()
                     if ln.startswith("{")]
             if line:
