@@ -10,7 +10,9 @@ Env overrides: BENCH_N (elements per edge, default 72 -> 1.17M dofs),
 BENCH_STEPS, BENCH_PRECOND, BENCH_MESH (lattice | unstructured = jittered
 coords on box topology | permuted = jittered + randomly renumbered nodes,
 genuinely general topology through the flat gather/scatter + SA-AMG path),
-BENCH_RAYLEIGH=1 (Rayleigh-damped lumped-mass wide variant).
+BENCH_RAYLEIGH=1 (Rayleigh-damped lumped-mass wide variant), BENCH_CELL
+(hex8 | tet4 — a tet mesh is general topology by construction; combine
+with BENCH_MESH=permuted for the fully unstructured configuration).
 
 A default invocation (no BENCH_N/BENCH_MESH override) additionally runs
 the VARIANT matrix in subprocesses and embeds their JSON under
@@ -81,7 +83,8 @@ def main():
     # in-kernel-jacobian kernels (ops/lattice_pallas general variants)
     wide = os.environ.get("BENCH_WIDE", "1") == "1"
 
-    disc = gridgen.box(n, n, n, cell="hex8")
+    cell = os.environ.get("BENCH_CELL", "hex8")  # hex8 | tet4 (6 tets/hex)
+    disc = gridgen.box(n, n, n, cell=cell)
     if mesh_kind in ("unstructured", "permuted"):
         # jitter interior nodes (deterministic): kills the structured-
         # lattice provenance, so the step runs the general gather/scatter
