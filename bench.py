@@ -295,10 +295,11 @@ def _run_variants(flagship_n):
                           "BENCH_WIDE": "0", "FOURC_LATTICE": "0",
                           "BENCH_PRECOND": "amg"},
         # widened fast path: Rayleigh damping + lumped mass in the wide
-        # lattice kernels.  n = 48: the XLA-reference-stencil damping term
-        # at n = 72 hits a 56x tile-padding blowup (777 MB of padding in
-        # one fusion) — a known small-minor-dim layout hazard
-        "rayleigh_wide": {"BENCH_RAYLEIGH": "1", "BENCH_N": "48",
+        # lattice kernels.  n = 32: the stiffness-proportional damping
+        # term runs the XLA-reference stencils (second-order jvp), whose
+        # unrolled intermediates tile-pad ~56x — n = 48 needs 33 GB of
+        # HBM at compile (OOM on a 16 GB chip); n = 32 fits
+        "rayleigh_wide": {"BENCH_RAYLEIGH": "1", "BENCH_N": "32",
                           "BENCH_STEPS": "5"},
     }
     here = os.path.abspath(__file__)
