@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -97,6 +98,12 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
 
     bnorm = jnp.linalg.norm(b)
     stop = jnp.maximum(tol * bnorm, atol)
+    # dtype-safe division guard: a 1e-300 literal underflows to 0.0 in f32,
+    # so a happy Arnoldi breakdown (hj1 == 0 exactly, e.g. a tiny system
+    # whose Krylov space is exhausted before `stop` is reachable at this
+    # precision) would divide 0/0 -> NaN.  sqrt(tiny) also serves as the
+    # breakdown threshold below.
+    tiny = float(np.sqrt(np.finfo(np.dtype(dtype)).tiny))
 
     def inner(x):
         r = b - A(x)
@@ -107,7 +114,7 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
         cs = jnp.zeros((m,), dtype)
         sn = jnp.zeros((m,), dtype)
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
-        V = V.at[0].set(r / jnp.maximum(beta, 1e-300))
+        V = V.at[0].set(r / jnp.maximum(beta, tiny))
 
         def arnoldi_step(j, carry):
             def step(carry):
@@ -130,8 +137,12 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
                 w = w - jnp.matmul(corr, V, precision=hp)
                 hcol = hcol + corr
                 hj1 = jnp.linalg.norm(w)
-                V = V.at[j + 1].set(w / jnp.maximum(hj1, 1e-300))
+                V = V.at[j + 1].set(w / jnp.maximum(hj1, tiny))
                 hcol = hcol.at[j + 1].set(hj1)
+                # lucky breakdown: A V_j already lies in span(V_0..V_j) — the
+                # exact solution lives in the current Krylov space, so stop
+                # extending the basis (ref: Belos GMRES breakdown handling)
+                breakdown = hj1 <= tiny
 
                 # apply accumulated Givens rotations
                 def apply_rot(i, hc):
@@ -141,15 +152,15 @@ def gmres(A, b, x0=None, M=None, tol=1e-8, atol=0.0, restart=30, maxiter=1000):
 
                 hcol = jax.lax.fori_loop(0, j, apply_rot, hcol)
                 denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-                c = hcol[j] / jnp.maximum(denom, 1e-300)
-                s = hcol[j + 1] / jnp.maximum(denom, 1e-300)
+                c = jnp.where(denom > tiny, hcol[j] / jnp.maximum(denom, tiny), 1.0)
+                s = jnp.where(denom > tiny, hcol[j + 1] / jnp.maximum(denom, tiny), 0.0)
                 hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
                 cs = cs.at[j].set(c)
                 sn = sn.at[j].set(s)
                 gj = g[j]
                 g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
                 H = H.at[:, j].set(hcol)
-                done = jnp.abs(g[j + 1]) <= stop
+                done = jnp.logical_or(jnp.abs(g[j + 1]) <= stop, breakdown)
                 return (V, H, cs, sn, g, done, jdone + 1)
 
             return jax.lax.cond(carry[5], lambda c: c, step, carry)
@@ -210,7 +221,10 @@ def bicgstab(A, b, x0=None, M=None, tol=1e-8, atol=0.0, maxiter=1000):
         sres = s["r"] - alpha * v
         shat = M(sres)
         t = A(shat)
-        omega = _dot(t, sres) / jnp.maximum(_dot(t, t), 1e-300)
+        tt = _dot(t, t)
+        # t == 0 exactly (breakdown / converged): a 1e-300 guard underflows
+        # to 0 in f32 and the division NaNs; keep omega finite instead
+        omega = jnp.where(tt == 0, 0.0, _dot(t, sres) / jnp.where(tt == 0, 1.0, tt))
         x = h + omega * shat
         r = sres - omega * t
         return dict(x=x, r=r, p=p, v=v, rho=rho_new, alpha=alpha, omega=omega, k=s["k"] + 1)

@@ -73,8 +73,19 @@ def iso_gradients(Xe, dN):
       detJ: (n_ele, ngp)         Jacobian determinants (NOT weighted)
     """
     d = Xe.shape[-1]
+    pdim = np.asarray(dN).shape[-1]
     # J[e,g,i,j] = d x_i / d xi_j
     J = jnp.einsum("eai,gaj->egij", Xe, jnp.asarray(dN))
+    if pdim == 1 and d > 1:
+        # curve element embedded in d-space (line2 transport/thermo meshes,
+        # ref: scatra line2 decks): gradient lives along the unit tangent,
+        # G[e,g,a,:] = (dN/ds) t_hat, detJ = arc-length jacobian |dx/dxi|.
+        t = J[..., 0]  # (e, g, d) tangent dx/dxi
+        detJ = jnp.linalg.norm(t, axis=-1)  # (e, g)
+        that = t / jnp.maximum(detJ, 1e-300)[..., None]
+        G = jnp.einsum("ga,eg,egi->egai", jnp.asarray(dN)[..., 0],
+                       1.0 / jnp.maximum(detJ, 1e-300), that)
+        return G, detJ
     if d == 3:
         detJ = det3(J)
         Jinv = inv3(J, detJ)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,6 +46,12 @@ class RunResult:
 def run(deck_src, callbacks=None) -> RunResult:
     """Run a deck end to end. deck_src: path | yaml str | dict | Deck."""
     deck = deck_src if isinstance(deck_src, deck_mod.Deck) else deck_mod.load(deck_src)
+    if deck.problem.get("dtype") == "float64" and not jax.config.jax_enable_x64:
+        # honor the deck's requested precision when run through the API
+        # (the CLI's --x64 and the test conftest set this up front);
+        # without it float64 decks silently downcast to f32 and absolute
+        # tolerances below the f32 floor can never converge
+        jax.config.update("jax_enable_x64", True)
     ptype = deck.problem_type
     if ptype == "structure":
         from fourc_tpu.physics import structure_driver
