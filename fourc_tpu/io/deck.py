@@ -697,10 +697,15 @@ def _build_geometry(geo: dict, cfg) -> dict:
         name = geo.get("name", "structure")
         coords = np.asarray(geo["nodes"], dtype=np.float64)
         d = Discretization(name=name, coords=coords)
-        for cell, spec in (geo.get("elements") or {}).items():
+        for cellkey, spec in (geo.get("elements") or {}).items():
             if isinstance(spec, list):
                 spec = {"conn": spec, "mat": 1}
-            d.add_block(cell, np.asarray(spec["conn"], np.int32), spec.get("mat", 1))
+            # a spec may name its cell type explicitly so two blocks of the
+            # same cell type (e.g. different materials) can coexist under
+            # distinct keys (ref: element sections with per-element MAT)
+            cell = spec.get("cell", cellkey)
+            d.add_block(cell, np.asarray(spec["conn"], np.int32),
+                        spec.get("mat", 1), key=cellkey)
         for nm, ids in (geo.get("node_sets") or {}).items():
             d.node_sets[nm] = np.asarray(ids, np.int32)
         for nm, fspec in (geo.get("face_sets") or {}).items():

@@ -54,6 +54,65 @@ class ScatraMat(Material):
         return self.reacoeff * phi
 
 
+@register_material("matlist")
+@register_material("matlist_reactions")
+@dataclass
+class MatListReactions(Material):
+    """K-species scalar transport with coupled reaction terms.
+
+    Counterpart of the reference's MAT_matlist_reactions holding
+    MAT_scatra species + MAT_scatra_reaction entries
+    (ref: src/mat/4C_mat_list_reactions.cpp,
+    src/mat/4C_mat_scatra_reaction.cpp — COUPLING simple_multiplicative
+    with STOICH / ROLE / REACCOEFF / DISTRFUNCT).
+
+    species:   [{diffusivity, capacity}, ...]   (the MATIDS sub-materials)
+    reactions: [{stoich: [K], reaccoeff, role: [K], distrfunct: fid|0}]
+
+    Reaction-rate semantics (simple/power multiplicative): the rate of
+    reaction r is  k_r * d_r(x) * prod_{k: role_k != 0} phi_k^{role_k}
+    and it contributes  stoich_i * rate  to d phi_i / dt.  ROLE marks the
+    participating scalars (exponent 1 for simple_multiplicative; the
+    power-multiplicative coupling uses the role value as exponent, which
+    this single formula covers).
+    """
+
+    kind = "scatra_multi"
+    species: list
+    reactions: list = field(default_factory=list)
+
+    @property
+    def nspec(self):
+        return len(self.species)
+
+    def diff_list(self):
+        return [float(s.get("diffusivity", 0.0)) for s in self.species]
+
+    def capacity_list(self):
+        return [float(s.get("capacity", 1.0)) for s in self.species]
+
+    def reaction_gp(self, phi, xg, functions, t=0.0):
+        """R(phi, x): (..., K) -> (..., K), in the residual convention
+        rhoc*phidot + R(phi) = 0, i.e. R_i = -sum_r stoich_i * rate_r."""
+        K = self.nspec
+        out = jnp.zeros_like(phi)
+        for rx in self.reactions:
+            rate = jnp.full(phi.shape[:-1], float(rx["reaccoeff"]), phi.dtype)
+            fid = int(rx.get("distrfunct", 0) or 0)
+            if fid:
+                fn = functions.get(fid)
+                rate = rate * fn(xg, t, component=0)
+            for k, role in enumerate(rx.get("role", [0] * K)):
+                if role:
+                    p = phi[..., k]
+                    rate = rate * (p if float(role) == 1.0
+                                   else p ** float(role))
+            for i, s in enumerate(rx.get("stoich", [0] * K)):
+                if s:
+                    out = out.at[..., i].add(-float(s) * rate)
+        return out
+
+
 @register_material("soret")
 @dataclass
 class SoretMat(Material):

@@ -138,6 +138,51 @@ def residual(
     return f
 
 
+def residual_multi(
+    Xe,
+    phie,
+    phidote,
+    cell: CellType,
+    diff_list,
+    cap_list,
+    vel_gp=None,
+    reaction_gp=None,
+    source_gp=None,
+):
+    """K-species advection-diffusion-reaction element residual: (e, nen, K).
+
+    Counterpart of the reference's multi-scalar AdvReac element calculus
+    (ref: src/scatra_ele/4C_scatra_ele_calc_advanced_reaction.cpp) — all
+    species of a block evaluate in ONE einsum chain with the species index
+    as a trailing tensor axis (TPU lane-friendly; no per-species loop).
+
+    phie/phidote: (e, nen, K); diff_list/cap_list: per-species scalars.
+    reaction_gp: callable phi (e, g, K) -> (e, g, K) coupled reaction
+    (already in residual sign convention). source_gp: (e, g, K) or None.
+    """
+    G, detJ = gm.iso_gradients(Xe, cell.dN)  # (e,g,a,d), (e,g)
+    wdet = gm.weighted(detJ, cell.gauss_weights)  # (e,g)
+    N = jnp.asarray(cell.N, Xe.dtype)  # (g,a)
+
+    phi = jnp.einsum("ga,eak->egk", N, phie)
+    phidot = jnp.einsum("ga,eak->egk", N, phidote)
+    gphi = jnp.einsum("egad,eak->egdk", G, phie)
+    cap = jnp.asarray(cap_list, Xe.dtype)  # (K,)
+
+    R = cap * phidot
+    if vel_gp is not None:
+        R = R + cap * jnp.einsum("egd,egdk->egk", vel_gp, gphi)
+    if reaction_gp is not None:
+        R = R + reaction_gp(phi)
+    if source_gp is not None:
+        R = R - source_gp
+
+    f = jnp.einsum("eg,ga,egk->eak", wdet, N, R)
+    D = jnp.asarray(diff_list, Xe.dtype)  # (K,)
+    f = f + jnp.einsum("eg,egad,egdk,k->eak", wdet, G, gphi, D)
+    return f
+
+
 def surface_flux(Xf, q_gp, face_cell: CellType):
     """Consistent nodal loads for a prescribed scalar flux on faces.
 

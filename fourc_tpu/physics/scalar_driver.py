@@ -105,8 +105,14 @@ class ScalarFieldView:
 
     def node_value(self, state, quantity: str, node: int):
         q = quantity.lower()
+        K = getattr(self.f, "ndpn", 1)
         if q in self.names or q in ("phi", "temp"):
-            return float(np.asarray(state["phi"])[node])
+            return float(np.asarray(state["phi"]).reshape(-1, K)[node, 0])
+        if q.startswith("phi") and q[3:].isdigit():
+            # multi-species: phi1..phiK (ref: SCATRA RESULT DESCRIPTION
+            # QUANTITY phi<n>, 1-based species index)
+            return float(np.asarray(state["phi"]).reshape(-1, K)[node,
+                                                                 int(q[3:]) - 1])
         if q in ("phidot", "rate", "tempdot"):
-            return float(np.asarray(state["phidot"])[node])
+            return float(np.asarray(state["phidot"]).reshape(-1, K)[node, 0])
         raise KeyError(f"unknown scalar quantity {quantity!r}")

@@ -87,15 +87,41 @@ class ScalarField:
         self.disc = disc
         self.params = params
         self.functions = functions or FunctionManager()
-        self.ndpn = 1
-        self.dofmap = disc.dofmap(1)
+        # K scalars per node when any block material is a matlist_reactions
+        # species list (ref: MAT_matlist_reactions NUMMAT); 1 otherwise
+        used_mats = {int(np.asarray(b.mat_id)[0]) for b in disc.blocks.values()}
+        self.ndpn = max(
+            (getattr(materials[m], "nspec", 1) for m in used_mats), default=1
+        )
+        self.dofmap = disc.dofmap(self.ndpn)
         self.ndof = self.dofmap.ndof
         dirichlet = list(dirichlet)
         if "__padding__" in disc.node_sets and len(disc.node_sets["__padding__"]):
             from fourc_tpu.core.conditions import DirichletBC
 
-            dirichlet.append(DirichletBC(disc.node_sets["__padding__"], [1], [0.0]))
-        self.dbc = DirichletHandler(dirichlet, disc.coords, 1, self.functions)
+            dirichlet.append(DirichletBC(disc.node_sets["__padding__"],
+                                         [1] * self.ndpn, [0.0] * self.ndpn))
+        if self.ndpn > 1:
+            # variable-dof support (ref: the reference's diffnumdof setup —
+            # a block whose material carries fewer species leaves the extra
+            # nodal dofs without any element row): dofs no block supports
+            # are pinned to zero so the system stays regular.
+            from fourc_tpu.core.conditions import DirichletBC
+
+            support = np.zeros((disc.coords.shape[0], self.ndpn), dtype=bool)
+            for key, blk in disc.blocks.items():
+                mid = int(np.asarray(blk.mat_id)[0])
+                kb = getattr(materials[mid], "nspec", 1)
+                support[np.asarray(blk.conn).reshape(-1), :kb] = True
+            for k in range(self.ndpn):
+                dead = np.where(~support[:, k])[0]
+                if dead.size:
+                    onoff = [0] * self.ndpn
+                    onoff[k] = 1
+                    dirichlet.append(DirichletBC(dead.astype(np.int32), onoff,
+                                                 [0.0] * self.ndpn))
+        self.dbc = DirichletHandler(dirichlet, disc.coords, self.ndpn,
+                                    self.functions)
         self.neumann = list(neumann)
         self.body_forces = list(body_forces)
 
@@ -145,6 +171,18 @@ class ScalarField:
             reaction = None
         return diff, rhoc, reaction
 
+    def _multi_lists(self, m):
+        """Per-species diffusivity/capacity lists padded to the field's K
+        (a block carrying fewer species contributes zero rows beyond its
+        own — those dofs are pinned by the support mask above)."""
+        K = self.ndpn
+        if hasattr(m, "diff_list"):
+            D, C = list(m.diff_list()), list(m.capacity_list())
+        else:
+            D = [float(m.diff())]
+            C = [float(getattr(m, "capacity", 1.0) or 1.0)]
+        return D + [0.0] * (K - len(D)), C + [0.0] * (K - len(C))
+
     def velocity_at_gps(self, key, t):
         """Convective velocity at GPs: (e, g, d) or None."""
         if self._vel_fn is None:
@@ -178,6 +216,39 @@ class ScalarField:
         """
         dm = self.dofmap
         per_block = {}
+        if self.ndpn > 1:
+            for key in dm.blocks:
+                cell = self._cell(key)
+                m = self.block_mat[key]
+                phie = dm.gather(phi, key)  # (e, a, K)
+                phidote = dm.gather(phidot, key)
+                Xe = self.block_X[key]
+                if mesh_disp is not None:
+                    Xe = Xe + mesh_disp[dm.blocks[key].conn]
+                vel_gp = self.velocity_at_gps(key, t)
+                reaction_gp = None
+                if getattr(m, "reactions", None):
+                    xg = ops.gp_coords(Xe, cell)
+                    fns, tt = self.functions, t
+
+                    def reaction_gp(p, m=m, xg=xg, fns=fns, tt=tt):
+                        return m.reaction_gp(p, xg, fns, tt)
+
+                elif float(getattr(m, "reacoeff", 0.0) or 0.0):
+                    # plain scatra block inside a multi field: linear decay
+                    # on its single species only
+                    rc = float(m.reacoeff)
+
+                    def reaction_gp(p, rc=rc):
+                        return jnp.zeros_like(p).at[..., 0].set(rc * p[..., 0])
+
+                D, C = self._multi_lists(m)
+                fe = ops.residual_multi(
+                    Xe, phie, phidote, cell, D, C,
+                    vel_gp=vel_gp, reaction_gp=reaction_gp,
+                )
+                per_block[key] = fe.reshape(fe.shape[0], -1)
+            return dm.scatter_add(per_block) - self.neumann_flux(t)
         for key in dm.blocks:
             cell = self._cell(key)
             diff, rhoc, reaction = self._mat_props(key)
@@ -232,6 +303,14 @@ class ScalarField:
         dm = self.dofmap
         per_block = {}
         for key in dm.blocks:
+            if self.ndpn > 1:
+                m = self.block_mat[key]
+                base = ops.capacity_lumped(self.block_X[key], self._cell(key),
+                                           1.0)  # (e, a)
+                cap = jnp.asarray(self._multi_lists(m)[1], base.dtype)
+                ce = base[..., None] * cap  # (e, a, K)
+                per_block[key] = ce.reshape(ce.shape[0], -1)
+                continue
             _, rhoc, _ = self._mat_props(key)
             per_block[key] = ops.capacity_lumped(self.block_X[key], self._cell(key), rhoc)
         return dm.scatter_add(per_block)
@@ -242,6 +321,24 @@ class ScalarField:
 
         dm = self.dofmap
         per_block = {}
+        if self.ndpn > 1:
+            for key in dm.blocks:
+                cell = self._cell(key)
+                m = self.block_mat[key]
+                G, detJ = gm.iso_gradients(self.block_X[key], cell.dN)
+                wdet = gm.weighted(detJ, cell.gauss_weights)
+                kbase = jnp.einsum("eg,egad,egad->ea", wdet, G, G)  # (e,a)
+                Dl, Cl = self._multi_lists(m)
+                D = jnp.asarray(Dl, kbase.dtype)
+                kdiag = kbase[..., None] * D  # (e, a, K)
+                if dt_factor:
+                    cbase = ops.capacity_lumped(self.block_X[key], cell, 1.0)
+                    cap = jnp.asarray(Cl, cbase.dtype)
+                    kdiag = kdiag + dt_factor * cbase[..., None] * cap
+                per_block[key] = kdiag.reshape(kdiag.shape[0], -1)
+            diag = dm.scatter_add(per_block)
+            diag = jnp.where(self.dbc.free_mask, jnp.maximum(diag, 1e-300), 1.0)
+            return jacobi(diag)
         for key in dm.blocks:
             cell = self._cell(key)
             diff, rhoc, _ = self._mat_props(key)
@@ -274,7 +371,15 @@ def init_state(f: ScalarField):
     phi0 = z
     if f.params.initial_funct:
         fn = f.functions.get(f.params.initial_funct)
-        phi0 = fn(jnp.asarray(f.disc.coords, dtype), 0.0, component=0)
+        X = jnp.asarray(f.disc.coords, dtype)
+        if f.ndpn > 1:
+            # per-species components of the initial-field function
+            # (ref: INITIALFIELD field_by_function with a multi-component
+            # FUNCT for matlist decks)
+            cols = [fn(X, 0.0, component=k) for k in range(f.ndpn)]
+            phi0 = jnp.stack(cols, axis=-1).reshape(-1)
+        else:
+            phi0 = fn(X, 0.0, component=0)
     phi0 = f.dbc.apply(phi0, 0.0)
     return {
         "phi": phi0,
@@ -286,16 +391,36 @@ def init_state(f: ScalarField):
 
 
 def compute_initial_state(f: ScalarField, state):
-    """Consistent initial rate: C phidot0 = -r_steady(phi0) (lumped C)."""
+    """Consistent initial rate: C phidot0 = -r_steady(phi0).
+
+    Solves with the CONSISTENT capacity matrix like the reference's
+    `calc_initial_time_derivative` (ref: src/scatra/
+    4C_scatra_timint_implicit.cpp) — the matrix action is extracted from
+    the residual's linearity in phidot, the lumped diagonal serves as the
+    Jacobi preconditioner.  A lumped-only inverse perturbs the whole OST
+    trajectory at the 1e-3 level on coarse meshes (measured against the
+    reference's distrreaccoeff anchors).
+    """
     if f.params.dyntype == "stationary":
         return state
     t0 = state["t"]
-    r = f.residual_transient(state["phi"], jnp.zeros_like(state["phi"]), t0,
-                             dt=f.params.dt)
+    zero = jnp.zeros_like(state["phi"])
+    r = f.residual_transient(state["phi"], zero, t0, dt=f.params.dt)
+    r0 = f.residual_transient(state["phi"], zero, t0, dt=f.params.dt)
+    # consistent capacity action: residual is affine in phidot at fixed phi
+    def massmat(v):
+        return f.dbc.mask(
+            f.residual_transient(state["phi"], v, t0, dt=f.params.dt) - r0
+        )
+
+    from fourc_tpu.linalg import solvers as ls
+
     c = f.lumped_capacity()
-    phidot0 = f.dbc.mask(-r / jnp.maximum(c, 1e-300))
+    cinv = jnp.where(f.dbc.free_mask, 1.0 / jnp.maximum(c, 1e-300), 1.0)
+    phidot0 = ls.cg(massmat, f.dbc.mask(-r), M=lambda x: cinv * x,
+                    tol=1e-12, maxiter=200).x
     new = dict(state)
-    new["phidot"] = phidot0
+    new["phidot"] = f.dbc.mask(phidot0)
     return new
 
 
