@@ -63,11 +63,12 @@ def invariants(C):
 # --- coupled (non-split) summands -----------------------------------------
 
 
-@register_summand("coupneohooke")
+@register_summand("couplogneohooke")
 @dataclass
-class CoupNeoHooke(Summand):
-    """ref: 4C_matelast_coupneohooke: psi = c (I1-3) - 2c ln J + lambda/2 ln^2 J
-    with c = mu/2."""
+class CoupLogNeoHooke(Summand):
+    """ref: 4C_mat_elast_couplogneohooke.hpp:68-70:
+    psi = mu/2 (I1-3) - mu ln J + lambda/2 ln^2 J  (MODE YN parametrisation
+    from YOUNG/NUE)."""
 
     youngs: float
     nue: float
@@ -77,6 +78,30 @@ class CoupNeoHooke(Summand):
         mu = self.youngs / (2 * (1 + self.nue))
         lnJ = jnp.log(inv["J"])
         return 0.5 * mu * (inv["I1"] - 3.0) - mu * lnJ + 0.5 * lam * lnJ**2
+
+
+@register_summand("coupneohooke")
+@dataclass
+class CoupNeoHooke(Summand):
+    """ref: 4C_mat_elast_coupneohooke.hpp:76:
+    psi = c (I1-3) + c/beta (J^(-2 beta) - 1)  with  c = E/(4(1+nu)),
+    beta = nu/(1-2 nu)  (4C_mat_elast_coupneohooke.cpp:23-24).  The
+    Ogden-compressible volumetric coupling — NOT the logarithmic form
+    (that is couplogneohooke above); the two differ at finite strain."""
+
+    youngs: float
+    nue: float
+
+    def psi(self, inv):
+        c = self.youngs / (4.0 * (1.0 + self.nue))
+        beta = self.nue / (1.0 - 2.0 * self.nue)
+        J = inv["J"]
+        if abs(beta) < 1e-14:
+            # nu = 0 limit: c/beta (J^(-2 beta) - 1) -> -2c ln J
+            vol = -2.0 * c * jnp.log(J)
+        else:
+            vol = (c / beta) * (J ** (-2.0 * beta) - 1.0)
+        return c * (inv["I1"] - 3.0) + vol
 
 
 @register_summand("coupmooneyrivlin")

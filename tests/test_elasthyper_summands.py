@@ -14,7 +14,7 @@ from fourc_tpu.materials import make_material
 
 # every registered summand with representative parameters
 SUMMANDS = [
-    {"type": "coupneohooke", "youngs": 100.0, "nue": 0.3},
+    {"type": "couplogneohooke", "youngs": 100.0, "nue": 0.3},
     {"type": "coupsaintvenantkirchhoff", "youngs": 100.0, "nue": 0.3},
     {"type": "coupmooneyrivlin", "c1": 10.0, "c2": 5.0, "c3": 100.0},
     {"type": "coupblatzko", "mue": 40.0, "nue": 0.3},

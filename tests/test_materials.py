@@ -37,7 +37,7 @@ def test_stress_free_reference():
         {"type": "neohooke", "youngs": 10.0, "nue": 0.25},
         {"type": "mooneyrivlin", "c1": 1.0, "c2": 0.5, "kappa": 10.0},
         {"type": "elasthyper", "summands": [
-            {"type": "coupneohooke", "youngs": 10.0, "nue": 0.25},
+            {"type": "couplogneohooke", "youngs": 10.0, "nue": 0.25},
             {"type": "isoyeoh", "c1": 1.0, "c2": 0.1, "c3": 0.0},
             {"type": "vologden", "kappa": 100.0, "beta": -2.0},
         ]},
@@ -49,7 +49,7 @@ def test_stress_free_reference():
 
 def test_elasthyper_composition_equals_sum():
     m1 = make_material({"type": "elasthyper", "summands": [
-        {"type": "coupneohooke", "youngs": 100.0, "nue": 0.3}]})
+        {"type": "couplogneohooke", "youngs": 100.0, "nue": 0.3}]})
     m2 = make_material({"type": "neohooke", "youngs": 100.0, "nue": 0.3})
     C = rand_C(3)
     assert np.abs(np.asarray(m1.pk2(C) - m2.pk2(C))).max() < 1e-8
@@ -125,7 +125,7 @@ def test_visco_sls_relaxation():
 
 def test_anisotropic_fiber_stiffens_fiber_direction():
     m = make_material({"type": "elasthyper", "summands": [
-        {"type": "coupneohooke", "youngs": 10.0, "nue": 0.3},
+        {"type": "couplogneohooke", "youngs": 10.0, "nue": 0.3},
         {"type": "coupanisoexpo", "k1": 10.0, "k2": 1.0, "a": [1, 0, 0]},
     ]})
     iso = make_material({"type": "neohooke", "youngs": 10.0, "nue": 0.3})

@@ -15,7 +15,7 @@ from fourc_tpu.materials.mixture import _fiber_cauchy
 pytestmark = pytest.mark.minimal
 
 NH = {"type": "elasthyper", "summands": [
-    {"type": "coupneohooke", "youngs": 100.0, "nue": 0.3}]}
+    {"type": "couplogneohooke", "youngs": 100.0, "nue": 0.3}]}
 
 F = jnp.array([[1.08, 0.04, 0.0],
                [0.00, 0.96, 0.02],
