@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -133,6 +134,34 @@ class DirichletHandler:
                 vals = amp * jnp.take_along_axis(allc, comps[:, None], axis=1)[:, 0]
             out = out.at[dofs].set(vals)
         return out
+
+    def rates(self, t):
+        """Analytic time derivative d/dt u_D(t) of the prescribed values,
+        zero on free dofs.  The reference applies the FUNCT's exact time
+        derivative to the rate vector on Dirichlet rows (scatra/thermo
+        ApplyDirichletBC with FAD time derivatives); the discrete update
+        recursion only converges to it, leaving O(dt) ripples on ramped
+        BCs.  Computed with jax jvp in t."""
+        n = self.free_mask.shape[0]
+        out = jnp.zeros((n,))
+        t = jnp.asarray(t, jnp.result_type(float))
+        for f, dofs, xyz, amp, comps in self._groups:
+            fn = self._functions.get(f)
+            if len(fn.components) == 1:
+                def g(tt, fn=fn, xyz=xyz):
+                    return fn(xyz, tt, component=0)
+            else:
+                def g(tt, fn=fn, xyz=xyz, comps=comps):
+                    allc = fn(xyz, tt)
+                    return jnp.take_along_axis(allc, comps[:, None], axis=1)[:, 0]
+            _, dv = jax.jvp(g, (t,), (jnp.ones_like(t),))
+            out = out.at[dofs].set(amp * dv)
+        return out
+
+    def apply_rates(self, udot, t):
+        """Overwrite constrained dofs of a rate vector with d/dt u_D(t)."""
+        w = self.free_w.astype(udot.dtype)
+        return w * udot + (1.0 - w) * self.rates(t).astype(udot.dtype)
 
     @property
     def free_mask(self):

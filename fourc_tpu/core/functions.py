@@ -16,6 +16,7 @@ import math
 import re
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 
 _TOKEN_RE = re.compile(
@@ -245,6 +246,42 @@ class FunctionOfSpaceTime:
         return jnp.stack(vals, axis=-1)
 
 
+class MultiFunctionOfTime:
+    """Piecewise-in-time function (ref: the VARIABLE ... TYPE multifunction
+    entries of FUNCT blocks, 4C_utils_function_library/ variable branch):
+    NUMPOINTS knot times with one DESCRIPTION expression per interval.
+
+    Interval convention matches the reference's segment lookup: knot t_i
+    belongs to the interval ENDING at it (left-open, right-closed), so the
+    time DERIVATIVE at an interior knot is the LEFT segment's — load-bearing
+    for ramped Dirichlet rates in first-order gen-alpha (the thermo bar
+    regression anchors resolve this convention at 1e-8).  Implemented as a
+    0/1-indicator sum, so jax.jvp in t differentiates the active piece only.
+    """
+
+    def __init__(self, times, pieces):
+        if len(pieces) != len(times) - 1:
+            raise ValueError("multifunction needs len(times)-1 pieces")
+        self.times = [float(v) for v in times]
+        self.pieces = [SymbolicExpression(str(p)) for p in pieces]
+        self.components = [self]  # FunctionOfSpaceTime duck-typing
+
+    def __call__(self, coords, t, component=None):
+        x = coords[..., 0]
+        y = coords[..., 1] if coords.shape[-1] > 1 else 0.0 * x
+        z = coords[..., 2] if coords.shape[-1] > 2 else 0.0 * x
+        t = jnp.asarray(t, jnp.result_type(float))
+        out = jnp.zeros(jnp.broadcast_shapes(x.shape, jnp.shape(t)),
+                        jnp.result_type(float))
+        for i, p in enumerate(self.pieces):
+            lo, hi = self.times[i], self.times[i + 1]
+            on = (t > lo) & (t <= hi) if i else (t >= lo) & (t <= hi)
+            w = jax.lax.stop_gradient(on.astype(out.dtype))
+            out = out + w * jnp.broadcast_to(
+                jnp.asarray(p(x, y, z, t), out.dtype), out.shape)
+        return out
+
+
 class FunctionManager:
     """Input-driven function table (ref: 4C_utils_function_manager.hpp).
 
@@ -256,6 +293,11 @@ class FunctionManager:
         self._funcs: dict[int, FunctionOfSpaceTime] = {}
 
     def add(self, fid: int, spec):
+        if isinstance(spec, dict) and "multifunction" in spec:
+            mf = spec["multifunction"]
+            self._funcs[int(fid)] = MultiFunctionOfTime(mf["times"],
+                                                        mf["pieces"])
+            return
         self._funcs[int(fid)] = FunctionOfSpaceTime.from_spec(spec)
 
     def get(self, fid) -> FunctionOfSpaceTime:

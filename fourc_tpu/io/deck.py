@@ -123,6 +123,12 @@ def _dyn_spec(default_dyntype, dyntypes):
             "maxtime": param(float, None, doc="final time (overrides numstep)"),
             "theta": param(float, 0.5, doc="one-step-theta parameter"),
             "rho_inf": param(float, 1.0, doc="gen-alpha spectral radius"),
+            "alpha_f": param(float, None,
+                             doc="explicit gen-alpha ALPHA_F (overrides rho_inf)"),
+            "alpha_m": param(float, None,
+                             doc="explicit gen-alpha ALPHA_M (overrides rho_inf)"),
+            "gamma": param(float, None,
+                           doc="explicit gen-alpha GAMMA (overrides rho_inf)"),
             "maxiter": param(int, 20, doc="Newton max iterations"),
             "tolres": param(float, 1e-8, doc="abs residual norm tol (NORM_RESF)"),
             "tolres_rel": param(float, 0.0, doc="relative residual tol (NORM_RESF Rel)"),

@@ -1,7 +1,8 @@
 """Basic hyperelastic materials (SVK, Neo-Hooke).
 
 ref: src/mat/4C_mat_stvenantkirchhoff.cpp:151,169 (SVK stress/tangent) and
-the CoupNeoHooke summand (src/mat/elast/4C_matelast_coupneohooke.cpp).
+the logarithmic neo-Hooke summand
+(src/mat/elast/4C_mat_elast_couplogneohooke.hpp:68-70).
 """
 
 from __future__ import annotations

@@ -33,7 +33,10 @@ def build_field(deck, section: str, disc_name: str) -> st.ScalarField:
         dt=dyn["timestep"],
         n_steps=dyn["numstep"],
         theta=dyn["theta"],
-        genalpha=st.GenAlphaScalarParams(rho_inf=dyn["rho_inf"]),
+        genalpha=st.GenAlphaScalarParams(
+            rho_inf=dyn["rho_inf"], alpha_f_in=dyn.get("alpha_f"),
+            alpha_m_in=dyn.get("alpha_m"), gamma_in=dyn.get("gamma"),
+        ),
         newton=drv.newton_params_from(dyn, solver, deck.sections.get("io")),
         stab=dyn.get("stab", "taylor"),
         velocity=dyn.get("velocity"),

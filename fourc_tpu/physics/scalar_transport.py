@@ -32,20 +32,31 @@ from fourc_tpu.physics.newton import NewtonParams, newton_solve
 class GenAlphaScalarParams:
     """JWH gen-alpha for first-order systems (ref: scatra genalpha:
     alpha_f = 1/(1+rho_inf), alpha_m = (3-rho_inf)/(2(1+rho_inf)),
-    gamma = 1/2 + alpha_m - alpha_f)."""
+    gamma = 1/2 + alpha_m - alpha_f).  Explicit coefficients override the
+    rho_inf parametrisation (ref: THERMAL DYNAMIC/GENALPHA ALPHA_F/
+    ALPHA_M/GAMMA given directly, e.g. the fully-implicit af = am = 1)."""
 
     rho_inf: float = 1.0
+    alpha_f_in: float | None = None
+    alpha_m_in: float | None = None
+    gamma_in: float | None = None
 
     @property
     def alpha_f(self):
+        if self.alpha_f_in is not None:
+            return float(self.alpha_f_in)
         return 1.0 / (1.0 + self.rho_inf)
 
     @property
     def alpha_m(self):
+        if self.alpha_m_in is not None:
+            return float(self.alpha_m_in)
         return 0.5 * (3.0 - self.rho_inf) / (1.0 + self.rho_inf)
 
     @property
     def gamma(self):
+        if self.gamma_in is not None:
+            return float(self.gamma_in)
         return 0.5 + self.alpha_m - self.alpha_f
 
 
@@ -471,6 +482,11 @@ def _make_ost_step(f: ScalarField, dt: float):
 
         def residual(phi):
             phidot = (phi - phi_n) / (th * dt) - (1 - th) / th * phidot_n
+            # DBC rows carry the FUNCT's analytic rate during the solve
+            # (ref: thermo/scatra evaluate_dirichlet fills the rate vector;
+            # update_iter_incrementally only writes the recursion to free
+            # rows, 4C_thermo_timint_genalpha.cpp:330-351)
+            phidot = f.dbc.apply_rates(phidot, t1)
             return f.residual_transient(phi, phidot, t1, dt=dt)
 
         phi0 = f.dbc.apply(phi_n, t1)
@@ -478,7 +494,7 @@ def _make_ost_step(f: ScalarField, dt: float):
         phi, stats = _solve(f, residual, phi0, M)
         phidot1 = (phi - phi_n) / (th * dt) - (1 - th) / th * phidot_n
         new = dict(state)
-        new.update(phi=phi, phidot=f.dbc.mask(phidot1), phi_nm1=phi_n, t=t1,
+        new.update(phi=phi, phidot=f.dbc.apply_rates(phidot1, t1), phi_nm1=phi_n, t=t1,
                    step=state["step"] + 1)
         return new, stats
 
@@ -497,6 +513,7 @@ def _make_bdf2_step(f: ScalarField, dt: float):
             phidot_be = (phi - phi_n) / dt
             phidot_b2 = (3.0 * phi - 4.0 * phi_n + phi_nm1) / (2.0 * dt)
             phidot = jnp.where(first, phidot_be, phidot_b2)
+            phidot = f.dbc.apply_rates(phidot, t1)
             return f.residual_transient(phi, phidot, t1, dt=dt)
 
         phi0 = f.dbc.apply(phi_n, t1)
@@ -506,7 +523,7 @@ def _make_bdf2_step(f: ScalarField, dt: float):
             first, (phi - phi_n) / dt, (3.0 * phi - 4.0 * phi_n + phi_nm1) / (2.0 * dt)
         )
         new = dict(state)
-        new.update(phi=phi, phidot=f.dbc.mask(phidot1), phi_nm1=phi_n, t=t1,
+        new.update(phi=phi, phidot=f.dbc.apply_rates(phidot1, t1), phi_nm1=phi_n, t=t1,
                    step=state["step"] + 1)
         return new, stats
 
@@ -524,6 +541,7 @@ def _make_genalpha_step(f: ScalarField, dt: float):
 
         def residual(phi1):
             phidot1 = (phi1 - phi_n) / (gamma * dt) + (1.0 - 1.0 / gamma) * phidot_n
+            phidot1 = f.dbc.apply_rates(phidot1, t1)
             phi_af = af * phi1 + (1 - af) * phi_n
             phidot_am = am * phidot1 + (1 - am) * phidot_n
             return f.residual_transient(phi_af, phidot_am, taf, dt=dt)
@@ -533,7 +551,7 @@ def _make_genalpha_step(f: ScalarField, dt: float):
         phi, stats = _solve(f, residual, phi0, M)
         phidot1 = (phi - phi_n) / (gamma * dt) + (1.0 - 1.0 / gamma) * phidot_n
         new = dict(state)
-        new.update(phi=phi, phidot=f.dbc.mask(phidot1), phi_nm1=phi_n, t=t1,
+        new.update(phi=phi, phidot=f.dbc.apply_rates(phidot1, t1), phi_nm1=phi_n, t=t1,
                    step=state["step"] + 1)
         return new, stats
 
