@@ -555,8 +555,15 @@ def element_stiffness(Xe, ue, cell: CellType, material, kinem="nonlinear",
 # ---------------------------------------------------------------------------
 
 
-def gp_stresses(Xe, ue, cell: CellType, material, kinem="nonlinear", history=None, dt=None):
-    """Cauchy stress at GPs: (E, ngp, 3, 3)."""
+def gp_stresses(Xe, ue, cell: CellType, material, kinem="nonlinear", history=None, dt=None,
+                tech="none"):
+    """Cauchy stress at GPs: (E, ngp, 3, 3).
+
+    With tech == "fbar" the stress is evaluated at the F-bar-modified
+    deformation gradient F_bar = (J0/J)^(1/3) F, matching the reference's
+    F-bar stress output (ref: src/solid_3D_ele/4C_solid_3D_ele_calc_fbar.hpp
+    — the element's IO stresses come from the same modified kinematics the
+    residual uses, not the raw F)."""
     E, nen, d = Xe.shape
     Xt = jnp.transpose(Xe, (1, 2, 0))
     ut = jnp.transpose(ue, (1, 2, 0))
@@ -576,9 +583,24 @@ def gp_stresses(Xe, ue, cell: CellType, material, kinem="nonlinear", history=Non
     F = H + gm.eye3l(H)
     # GL strain, cancellation-free (pk2_from_E expects E, NOT C)
     Egl = 0.5 * (H + jnp.swapaxes(H, 0, 1) + jnp.einsum("kigE,kjgE->ijgE", H, H))
+    J = gm.det3l(F)
+    if tech == "fbar" and d == 3:
+        import numpy as np
+
+        dN0 = cell.eval_shape_deriv(np.zeros(d))[None]
+        G0, _ = gm.iso_gradients_el(Xt, dN0)
+        H0 = gm.grad_field_el(ut, G0)[:, :, 0]
+        F0 = H0 + gm.eye3l(H0)
+        J0 = gm.det3l(F0)
+        lr = (2.0 / 3.0) * (jnp.log(J0)[None] - jnp.log(J))
+        s2m1 = jnp.expm1(lr)
+        s2 = 1.0 + s2m1
+        Egl = s2 * Egl + 0.5 * s2m1 * gm.eye3l(Egl)
+        s = jnp.sqrt(s2)
+        F = s * F
+        J = gm.det3l(F)
     S, _ = _stress_pk2(material, Egl.reshape(3, 3, M), hist_flat, dt)
     S = S.reshape(3, 3, g, E)
-    J = gm.det3l(F)
     sig = jnp.einsum("ikgE,klgE,jlgE->ijgE", F, S, F) / J
     return jnp.transpose(sig, (3, 2, 0, 1))
 
@@ -608,15 +630,19 @@ def strain_energy(Xe, ue, cell: CellType, material, kinem="nonlinear"):
 
 
 def extrapolate_to_nodes(gp_vals, cell: CellType):
-    """Average GP values to element nodes via shape-fn weighting
-    (N^T diag(w) gp_vals / N^T w) — matches the reference's nodal stress
-    averaging for output. gp_vals: (E, ngp, ...) -> (E, nen, ...)."""
-    N = jnp.asarray(cell.N)  # (g,a)
-    w = jnp.asarray(cell.gauss_weights)
-    wN = N * w[:, None]
-    denom = wN.sum(axis=0)  # (a,)
-    num = jnp.einsum("ga,eg...->ea...", wN, gp_vals)
-    return num / denom.reshape((1, -1) + (1,) * (num.ndim - 2))
+    """TRUE GP-to-node extrapolation: nodal values of the polynomial that
+    interpolates the GP values, via the pseudo-inverse of the GP shape
+    matrix N[g, a] (ref: the reference's gauss-point-to-node extrapolation
+    for IO stresses, src/core/fem 4C_fem_general_extract_values /
+    extrapolation matrices — a weighted GP *average* under-predicts corner
+    stresses by the (sqrt(3))^dim extrapolation factor on hex8 and mixes
+    octants on asymmetric fields).  ngp > nen falls back to least squares,
+    ngp < nen to the minimum-norm solution (tet4's single GP broadcasts).
+    gp_vals: (E, ngp, ...) -> (E, nen, ...)."""
+    import numpy as np
+
+    Mx = jnp.asarray(np.linalg.pinv(np.asarray(cell.N)))  # (a, g)
+    return jnp.einsum("ag,eg...->ea...", Mx, gp_vals)
 
 
 # ---------------------------------------------------------------------------

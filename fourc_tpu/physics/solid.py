@@ -737,6 +737,7 @@ class SolidField:
             sig = ops.gp_stresses(
                 self.block_X[key], ue, cell, self.block_mat[key],
                 kinem=self.params.kinem, history=h, dt=dt,
+                tech=getattr(self.params, "tech", "none"),
             )
             nod = ops.extrapolate_to_nodes(sig, cell)  # (e, nen, 3, 3)
             conn = dm.blocks[key].conn.reshape(-1)
