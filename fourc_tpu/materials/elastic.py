@@ -230,5 +230,9 @@ class MulfPrestress(HistoryMaterial):
         Ctot = F0.T @ C @ F0
         E = 0.5 * (Ctot - jnp.eye(3, dtype=C.dtype))
         S = self.base.pk2_from_E(E[..., None])[..., 0]
-        Sp = F0 @ S @ F0.T
+        # the prestressed configuration is the NEW reference (ref: MULF,
+        # Gee et al. 2010 / 4C_solid_3D_ele_calc_mulf): energy is measured
+        # per UPDATED volume, so the pull-back to the stored original
+        # coordinates carries det(F0):  S' = J0 F0 S F0^T
+        Sp = jnp.linalg.det(F0) * (F0 @ S @ F0.T)
         return Sp, h
